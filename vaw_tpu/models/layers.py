@@ -1,0 +1,230 @@
+"""Shared layer kit for all backbones (Flax linen, NHWC).
+
+TPU-native equivalents of the reference's layer utilities:
+tools/nn.py (GroupNorm32, timestep_embedding, zero_module),
+tools/timm.py (trunc_normal_, DropPath, Mlp),
+models/dit.py:41-110 (Timestep/Label embedders), :307-354 (2D sin-cos grid).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Callable, Optional, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = [
+    "timestep_embedding",
+    "get_2d_sincos_pos_embed",
+    "GroupNorm32",
+    "Mlp",
+    "DropPath",
+    "PatchEmbed",
+    "TimestepEmbedder",
+    "LabelEmbedder",
+    "MultiHeadSelfAttention",
+    "modulate",
+    "zeros_init",
+    "xavier_uniform_init",
+    "trunc_normal_init",
+]
+
+zeros_init = nn.initializers.zeros_init()
+xavier_uniform_init = nn.initializers.xavier_uniform()
+
+
+def trunc_normal_init(std: float = 0.02):
+    """timm-style truncated normal (reference: tools/timm.py:8-40)."""
+    return nn.initializers.truncated_normal(stddev=std, lower=-2.0, upper=2.0)
+
+
+def timestep_embedding(t: jnp.ndarray, dim: int, max_period: float = 10000.0):
+    """Sinusoidal timestep embedding, [cos | sin] ordering
+    (reference: tools/nn.py:103-121, models/dit.py:55-74)."""
+    half = dim // 2
+    freqs = jnp.exp(
+        -math.log(max_period)
+        * jnp.arange(half, dtype=jnp.float32) / half
+    )
+    args = t.astype(jnp.float32)[:, None] * freqs[None]
+    emb = jnp.concatenate([jnp.cos(args), jnp.sin(args)], axis=-1)
+    if dim % 2:
+        emb = jnp.concatenate([emb, jnp.zeros_like(emb[:, :1])], axis=-1)
+    return emb
+
+
+def get_2d_sincos_pos_embed(embed_dim: int, grid_size: int,
+                            cls_token: bool = False, extra_tokens: int = 0):
+    """Fixed 2D sin-cos positional table (reference: models/dit.py:307-354).
+    Computed host-side in numpy; becomes a jit constant."""
+    def _1d(dim, pos):
+        omega = np.arange(dim // 2, dtype=np.float64) / (dim / 2.0)
+        omega = 1.0 / 10000 ** omega
+        out = np.einsum("m,d->md", pos.reshape(-1), omega)
+        return np.concatenate([np.sin(out), np.cos(out)], axis=1)
+
+    grid_h = np.arange(grid_size, dtype=np.float32)
+    grid_w = np.arange(grid_size, dtype=np.float32)
+    grid = np.stack(np.meshgrid(grid_w, grid_h), axis=0)  # w first
+    grid = grid.reshape([2, 1, grid_size, grid_size])
+    emb_h = _1d(embed_dim // 2, grid[0])
+    emb_w = _1d(embed_dim // 2, grid[1])
+    pos = np.concatenate([emb_h, emb_w], axis=1)
+    if cls_token and extra_tokens > 0:
+        pos = np.concatenate([np.zeros([extra_tokens, embed_dim]), pos], axis=0)
+    return pos.astype(np.float32)
+
+
+class GroupNorm32(nn.Module):
+    """GroupNorm computed in f32 regardless of activation dtype
+    (reference: tools/nn.py:16-19, normalization() :93-100)."""
+
+    num_groups: int = 32
+
+    @nn.compact
+    def __call__(self, x):
+        orig_dtype = x.dtype
+        out = nn.GroupNorm(
+            num_groups=min(self.num_groups, x.shape[-1]),
+            epsilon=1e-5, dtype=jnp.float32, param_dtype=jnp.float32,
+        )(x.astype(jnp.float32))
+        return out.astype(orig_dtype)
+
+
+class Mlp(nn.Module):
+    """Transformer MLP (reference: tools/timm.py:84-113)."""
+
+    hidden_features: int
+    out_features: Optional[int] = None
+    act: Callable = nn.gelu
+    dropout: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        out_features = self.out_features or x.shape[-1]
+        x = nn.Dense(self.hidden_features, dtype=self.dtype,
+                     kernel_init=xavier_uniform_init)(x)
+        x = self.act(x)
+        x = nn.Dropout(self.dropout, deterministic=deterministic)(x)
+        x = nn.Dense(out_features, dtype=self.dtype,
+                     kernel_init=xavier_uniform_init)(x)
+        x = nn.Dropout(self.dropout, deterministic=deterministic)(x)
+        return x
+
+
+class DropPath(nn.Module):
+    """Stochastic depth (reference: tools/timm.py:43-63)."""
+
+    rate: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        if self.rate == 0.0 or deterministic:
+            return x
+        keep = 1.0 - self.rate
+        rng = self.make_rng("dropout")
+        mask_shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+        mask = jax.random.bernoulli(rng, keep, mask_shape)
+        return jnp.where(mask, x / keep, 0.0)
+
+
+class PatchEmbed(nn.Module):
+    """Conv patchify, NHWC -> [N, T, D] (timm PatchEmbed equivalent used at
+    models/dit.py:192)."""
+
+    patch_size: int
+    embed_dim: int
+    use_bias: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        p = self.patch_size
+        x = nn.Conv(
+            self.embed_dim, (p, p), strides=(p, p), padding="VALID",
+            use_bias=self.use_bias, dtype=self.dtype,
+            kernel_init=xavier_uniform_init,
+        )(x)
+        n, h, w, d = x.shape
+        return x.reshape(n, h * w, d)
+
+
+class TimestepEmbedder(nn.Module):
+    """Sinusoidal frequency embedding + 2-layer MLP
+    (reference: models/dit.py:41-79)."""
+
+    hidden_size: int
+    frequency_embedding_size: int = 256
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, t):
+        t_freq = timestep_embedding(t, self.frequency_embedding_size)
+        x = nn.Dense(self.hidden_size, dtype=self.dtype,
+                     kernel_init=trunc_normal_init(0.02))(t_freq)
+        x = nn.silu(x)
+        x = nn.Dense(self.hidden_size, dtype=self.dtype,
+                     kernel_init=trunc_normal_init(0.02))(x)
+        return x
+
+
+class LabelEmbedder(nn.Module):
+    """Class-label embedding with CFG null-class dropout
+    (reference: models/dit.py:82-110). When dropout_prob > 0 the table has an
+    extra null row at index num_classes."""
+
+    num_classes: int
+    hidden_size: int
+    dropout_prob: float = 0.0
+
+    @nn.compact
+    def __call__(self, labels, train: bool = False, force_drop_ids=None):
+        use_cfg_embedding = self.dropout_prob > 0
+        table = nn.Embed(
+            self.num_classes + int(use_cfg_embedding), self.hidden_size,
+            embedding_init=nn.initializers.normal(stddev=0.02),
+        )
+        if (train and use_cfg_embedding) or (force_drop_ids is not None):
+            if force_drop_ids is None:
+                rng = self.make_rng("label_dropout")
+                drop_ids = (
+                    jax.random.uniform(rng, (labels.shape[0],)) < self.dropout_prob
+                )
+            else:
+                drop_ids = force_drop_ids == 1
+            labels = jnp.where(drop_ids, self.num_classes, labels)
+        return table(labels)
+
+
+class MultiHeadSelfAttention(nn.Module):
+    """Fused-QKV self-attention over [N, T, D] tokens with f32 softmax.
+    TPU equivalent of timm Attention (models/dit.py:126) and the ADM
+    QKVAttention (models/unet.py:362-394)."""
+
+    num_heads: int
+    qkv_bias: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        from ..ops.attention import multi_head_attention
+
+        n, t, d = x.shape
+        assert d % self.num_heads == 0
+        head_dim = d // self.num_heads
+        qkv = nn.Dense(3 * d, use_bias=self.qkv_bias, dtype=self.dtype,
+                       kernel_init=xavier_uniform_init)(x)
+        qkv = qkv.reshape(n, t, 3, self.num_heads, head_dim)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+        out = multi_head_attention(q, k, v)
+        out = out.reshape(n, t, d)
+        return nn.Dense(d, dtype=self.dtype, kernel_init=xavier_uniform_init)(out)
+
+
+def modulate(x, shift, scale):
+    """adaLN modulation (reference: models/dit.py:24-25)."""
+    return x * (1 + scale[:, None]) + shift[:, None]

@@ -1,0 +1,68 @@
+"""Attention for TPU.
+
+The reference uses three attention implementations: the ADM QKVAttention
+(models/unet.py:329-394, fp32-softmax-in-fp16), timm SDPA inside DiT/ViT
+(models/dit.py:126), and a flash/xformers/math fallback chain in U-ViT
+(models/uvit.py:8-18, 67-93). On TPU all of them collapse to one primitive:
+a fused multi-head attention that keeps the softmax in f32. We use a Pallas
+flash-attention kernel for long sequences (ops/flash_attention.py) and XLA's
+fused attention otherwise — at the reference's token counts (<=1026) plain
+XLA attention already runs at MXU speed-of-light, so the Pallas path is gated
+by sequence length.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["multi_head_attention"]
+
+# Below this many tokens the whole [T, T] score matrix fits comfortably in
+# VMEM and XLA's fusion is optimal; the Pallas kernel wins past it.
+_FLASH_MIN_SEQ = 2048
+
+
+def _xla_attention(q, k, v, scale):
+    """Reference-faithful math path: scores and softmax in f32
+    (the 1/sqrt(sqrt(ch)) double-scaling trick of models/unet.py:349-353 is
+    equivalent to a single f32 scale here)."""
+    orig_dtype = q.dtype
+    logits = jnp.einsum(
+        "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
+    )
+    weights = jax.nn.softmax(logits.astype(jnp.float32) * scale, axis=-1)
+    out = jnp.einsum(
+        "bhqk,bkhd->bqhd", weights.astype(orig_dtype), v,
+        preferred_element_type=jnp.float32,
+    )
+    return out.astype(orig_dtype)
+
+
+def multi_head_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    scale: Optional[float] = None,
+    use_pallas: Optional[bool] = None,
+) -> jnp.ndarray:
+    """Batched MHA over [B, T, H, D] tensors, returns [B, T, H, D].
+
+    Softmax always runs in f32 regardless of input dtype (bf16-safe), matching
+    the reference's fp32-softmax trick (models/unet.py:352, uvit.py:74).
+    """
+    head_dim = q.shape[-1]
+    if scale is None:
+        scale = 1.0 / math.sqrt(head_dim)
+    seq = q.shape[1]
+    if use_pallas is None:
+        use_pallas = seq >= _FLASH_MIN_SEQ
+    if use_pallas:
+        from .flash_attention import flash_attention
+
+        return flash_attention(q, k, v, scale=scale)
+    return _xla_attention(q, k, v, scale)
