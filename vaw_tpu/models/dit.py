@@ -1,0 +1,178 @@
+"""DiT — adaLN-Zero diffusion transformer (Flax linen, NHWC).
+
+TPU-first re-design of the reference DiT (reference: models/dit.py:157-298):
+tokens stay [N, T, D] throughout; adaLN modulation fuses into the surrounding
+matmuls under XLA; attention uses the shared f32-softmax MHA (Pallas flash
+path for long sequences). Sizes S/B/L/XL match models/dit.py:361-382.
+
+Contract (reference: models/dit.py:258-280): forward(x, t, y) returns
+(out, zs) where zs is the REPA projector output at block `encoder_depth`
+(None unless learn_align).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from .layers import (
+    LabelEmbedder,
+    Mlp,
+    MultiHeadSelfAttention,
+    PatchEmbed,
+    TimestepEmbedder,
+    get_2d_sincos_pos_embed,
+    modulate,
+    xavier_uniform_init,
+    zeros_init,
+)
+
+__all__ = ["DiT", "DiT_S", "DiT_B", "DiT_L", "DiT_XL", "DiT_models"]
+
+
+class DiTBlock(nn.Module):
+    """One adaLN-Zero block (reference: models/dit.py:118-137). The 6-way
+    modulation projection is zero-initialized so each block starts as
+    identity (reference :232-235)."""
+
+    hidden_size: int
+    num_heads: int
+    mlp_ratio: float = 4.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, c):
+        mod = nn.Dense(6 * self.hidden_size, dtype=self.dtype,
+                       kernel_init=zeros_init, bias_init=zeros_init)(nn.silu(c))
+        (shift_msa, scale_msa, gate_msa,
+         shift_mlp, scale_mlp, gate_mlp) = jnp.split(mod, 6, axis=-1)
+        norm1 = nn.LayerNorm(use_bias=False, use_scale=False, epsilon=1e-6,
+                             dtype=jnp.float32)
+        norm2 = nn.LayerNorm(use_bias=False, use_scale=False, epsilon=1e-6,
+                             dtype=jnp.float32)
+        attn_out = MultiHeadSelfAttention(
+            num_heads=self.num_heads, qkv_bias=True, dtype=self.dtype,
+        )(modulate(norm1(x).astype(self.dtype), shift_msa, scale_msa))
+        x = x + gate_msa[:, None] * attn_out
+        mlp_out = Mlp(
+            hidden_features=int(self.hidden_size * self.mlp_ratio),
+            act=lambda y: nn.gelu(y, approximate=True), dtype=self.dtype,
+        )(modulate(norm2(x).astype(self.dtype), shift_mlp, scale_mlp))
+        x = x + gate_mlp[:, None] * mlp_out
+        return x
+
+
+class FinalLayer(nn.Module):
+    """adaLN + zero-initialized linear head (reference: models/dit.py:140-155,
+    zero init :238-241)."""
+
+    hidden_size: int
+    patch_size: int
+    out_channels: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, c):
+        mod = nn.Dense(2 * self.hidden_size, dtype=self.dtype,
+                       kernel_init=zeros_init, bias_init=zeros_init)(nn.silu(c))
+        shift, scale = jnp.split(mod, 2, axis=-1)
+        x = nn.LayerNorm(use_bias=False, use_scale=False, epsilon=1e-6,
+                         dtype=jnp.float32)(x).astype(self.dtype)
+        x = modulate(x, shift, scale)
+        return nn.Dense(
+            self.patch_size * self.patch_size * self.out_channels,
+            dtype=self.dtype, kernel_init=zeros_init, bias_init=zeros_init,
+        )(x)
+
+
+class DiT(nn.Module):
+    image_size: int = 32
+    patch_size: int = 2
+    in_channels: int = 4
+    hidden_size: int = 1152
+    depth: int = 28
+    num_heads: int = 16
+    mlp_ratio: float = 4.0
+    class_dropout_prob: float = 0.1
+    num_classes: int = 1000
+    learn_sigma: bool = False
+    learn_align: bool = False
+    encoder_depth: int = 8
+    z_dims: int = 768
+    projector_dim: int = 2048
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, t, y=None, train: bool = False, force_drop_ids=None):
+        """x: [N, H, W, C] (NHWC), t: [N], y: [N] int labels.
+        Returns (out [N, H, W, C_out], zs or None)."""
+        out_channels = self.in_channels * 2 if self.learn_sigma else self.in_channels
+        assert not self.learn_align or self.encoder_depth > 0
+
+        x = x.astype(self.dtype)
+        x = PatchEmbed(self.patch_size, self.hidden_size, dtype=self.dtype)(x)
+        grid = self.image_size // self.patch_size
+        pos_embed = get_2d_sincos_pos_embed(self.hidden_size, grid)  # constant
+        x = x + jnp.asarray(pos_embed, self.dtype)[None]
+
+        c = TimestepEmbedder(self.hidden_size, dtype=self.dtype)(t)
+        if self.num_classes > 0:
+            assert y is not None
+            c = c + LabelEmbedder(
+                self.num_classes, self.hidden_size, self.class_dropout_prob
+            )(y, train=train, force_drop_ids=force_drop_ids).astype(self.dtype)
+
+        zs = None
+        for i in range(self.depth):
+            x = DiTBlock(self.hidden_size, self.num_heads, self.mlp_ratio,
+                         dtype=self.dtype)(x, c)
+            if self.learn_align and (i + 1) == self.encoder_depth:
+                # REPA projector tap (reference: models/dit.py:27-34, 272-275).
+                h = nn.Dense(self.projector_dim, dtype=self.dtype,
+                             kernel_init=xavier_uniform_init)(x)
+                h = nn.silu(h)
+                h = nn.Dense(self.projector_dim, dtype=self.dtype,
+                             kernel_init=xavier_uniform_init)(h)
+                h = nn.silu(h)
+                zs = nn.Dense(self.z_dims, dtype=self.dtype,
+                              kernel_init=xavier_uniform_init)(h)
+
+        x = FinalLayer(self.hidden_size, self.patch_size, out_channels,
+                       dtype=self.dtype)(x, c)
+        x = self._unpatchify(x, out_channels)
+        return x.astype(jnp.float32), zs
+
+    def _unpatchify(self, x, out_channels):
+        """[N, T, p*p*C] -> [N, H, W, C] (reference: models/dit.py:243-256,
+        producing NHWC directly instead of transposing to NCHW)."""
+        n, t, _ = x.shape
+        p = self.patch_size
+        h = w = int(t ** 0.5)
+        assert h * w == t
+        x = x.reshape(n, h, w, p, p, out_channels)
+        x = jnp.einsum("nhwpqc->nhpwqc", x)
+        return x.reshape(n, h * p, w * p, out_channels)
+
+
+def _make_dit(hidden_size, depth, num_heads):
+    def ctor(image_size, patch_size, in_channels, class_dropout_prob,
+             num_classes, learn_sigma, **kwargs):
+        return DiT(
+            image_size=image_size, patch_size=patch_size or 2,
+            in_channels=in_channels, hidden_size=hidden_size, depth=depth,
+            num_heads=num_heads, class_dropout_prob=class_dropout_prob,
+            num_classes=num_classes, learn_sigma=learn_sigma, **kwargs,
+        )
+
+    return ctor
+
+
+# Size registry (reference: models/dit.py:361-382).
+DiT_S = _make_dit(384, 12, 6)
+DiT_B = _make_dit(768, 12, 12)
+DiT_L = _make_dit(1024, 24, 16)
+DiT_XL = _make_dit(1152, 28, 16)
+
+DiT_models = {"DiT-S": DiT_S, "DiT-B": DiT_B, "DiT-L": DiT_L, "DiT-XL": DiT_XL}

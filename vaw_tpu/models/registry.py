@@ -1,0 +1,51 @@
+"""Model registry and builder (reference: main.py:30-34, 184-221)."""
+
+from __future__ import annotations
+
+from .dit import DiT_models
+from .unet import UNet_models
+from .uvit import UViT_models
+from .vit import ViT_models
+
+__all__ = ["MODEL_VARIANTS", "build_model"]
+
+MODEL_VARIANTS = (
+    list(UNet_models) + list(ViT_models) + list(DiT_models) + list(UViT_models)
+)
+
+
+def build_model(cfg):
+    """Construct the backbone named by cfg.model with reference-faithful
+    argument wiring (reference: main.py:184-221). cfg is a TrainConfig or any
+    object with the same attribute names."""
+    name = cfg.model
+    if name in UNet_models:
+        return UNet_models[name](
+            num_classes=cfg.num_classes, in_channels=cfg.in_chans,
+            drop_label_prob=cfg.drop_label_prob, dropout=cfg.dropout,
+            learn_sigma=cfg.learn_sigma, class_cond=cfg.class_cond,
+            dtype=cfg.compute_dtype,
+        )
+    if name in UViT_models:
+        return UViT_models[name](
+            image_size=cfg.image_size, patch_size=cfg.patch_size,
+            in_channels=cfg.in_chans, num_classes=cfg.num_classes,
+            class_dropout_prob=cfg.drop_label_prob, dtype=cfg.compute_dtype,
+        )
+    if name in ViT_models:
+        return ViT_models[name](
+            image_size=cfg.image_size, patch_size=cfg.patch_size,
+            in_channels=cfg.in_chans, num_classes=cfg.num_classes,
+            learn_sigma=cfg.learn_sigma, drop_rate=cfg.dropout,
+            drop_label_prob=cfg.drop_label_prob, dtype=cfg.compute_dtype,
+        )
+    if name in DiT_models:
+        return DiT_models[name](
+            image_size=cfg.image_size, patch_size=cfg.patch_size,
+            in_channels=cfg.in_chans, num_classes=cfg.num_classes,
+            learn_sigma=cfg.learn_sigma, learn_align=cfg.learn_align,
+            encoder_depth=cfg.encoder_depth,
+            class_dropout_prob=cfg.drop_label_prob, z_dims=cfg.z_dims,
+            dtype=cfg.compute_dtype,
+        )
+    raise ValueError(f"Unsupported model variant: {name}")

@@ -1,0 +1,20 @@
+from .mesh import (
+    batch_sharding,
+    local_device_count,
+    make_mesh,
+    replicated_sharding,
+    shard_batch,
+)
+from .partition import (
+    param_shardings,
+    partition_specs,
+    shard_params,
+    transformer_partition_rules,
+)
+
+__all__ = [
+    "make_mesh", "batch_sharding", "replicated_sharding", "shard_batch",
+    "local_device_count",
+    "partition_specs", "param_shardings", "shard_params",
+    "transformer_partition_rules",
+]

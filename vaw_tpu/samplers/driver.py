@@ -1,0 +1,179 @@
+"""High-level generation driver.
+
+TPU re-design of the reference Sampler (reference: tools/sampler.py:97-268):
+one jitted program per (sampler-kind, batch shape) generates a full batch —
+the denoising loop is a scan inside the jit, CFG doubles the batch inside the
+loop body, and the VAE decode + uint8 conversion fuse into the same program.
+The reference's rank-0 EMA broadcast + all_gather collection
+(sampler.py:122-124, 232-247) disappear under SPMD: EMA params are already
+consistent, and host collection is a device_get of the sharded output.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.diffusion import GaussianDiffusion
+from ..core.flow import FlowMatching
+from .edm import ablation_sampler, build_edm_plan
+from .guidance import IntervalCFG, cfg_scale_for_time, classifier_cond_fn
+
+__all__ = ["Sampler"]
+
+
+def _inverse_normalize(x):
+    """[-1,1] float -> uint8 (reference: tools/sampler.py:257-258); NHWC
+    already, no permute needed."""
+    return jnp.clip((x + 1) * 127.5, 0, 255).astype(jnp.uint8)
+
+
+class Sampler:
+    """Generation driver over an EMA model closure.
+
+    model_fn(x, t, y=...) -> model output (primary or (primary, aux)).
+    vae_decode_fn: optional latents -> images in [-1,1] (NHWC), applied when
+    in_chans == 4 (reference: tools/sampler.py:249-255).
+    classifier_fn: optional (x, t) -> logits for classifier guidance.
+    """
+
+    def __init__(self, cfg, model_fn, diffusion=None, vae_decode_fn=None,
+                 classifier_fn=None):
+        self.cfg = cfg
+        self.model_fn = model_fn
+        self.diffusion = diffusion
+        self.vae_decode_fn = vae_decode_fn
+        self.classifier_fn = classifier_fn
+        self.cfg_model = IntervalCFG(
+            model_fn, cfg.num_classes, cfg.guidance_scale, tuple(cfg.interval),
+            cfg.class_cond,
+        )
+        self._jit_cache = {}
+
+    # ------------------------------------------------------------- #
+    # label sampling (reference: tools/sampler.py:216-229)
+    # ------------------------------------------------------------- #
+
+    def _get_y_cond(self, rng, sample_size, num_classes):
+        if not self.cfg.class_cond:
+            return None
+        labels = self.cfg.class_labels
+        if labels is None:
+            return jax.random.randint(rng, (sample_size,), 0, num_classes)
+        labels = jnp.asarray(labels, jnp.int32)
+        idx = jax.random.randint(rng, (sample_size,), 0, len(labels))
+        return labels[idx]
+
+    # ------------------------------------------------------------- #
+    # per-batch jitted programs
+    # ------------------------------------------------------------- #
+
+    def _decode(self, samples):
+        if self.cfg.in_chans == 4 and self.vae_decode_fn is not None:
+            samples = self.vae_decode_fn(samples / self.cfg.latent_scale)
+        return _inverse_normalize(samples)
+
+    def _ddim_batch(self, rng, shape, y):
+        """(reference: tools/sampler.py:117-149)"""
+        cond_fn = None
+        model = self.cfg_model
+        if self.classifier_fn is not None:
+            model = self.model_fn
+            cond_fn = classifier_cond_fn(
+                self.classifier_fn, self.cfg.guidance_scale
+            )
+        model_kwargs = {"y": y} if self.cfg.class_cond else {}
+        samples = self.diffusion.ddim_sample_loop(
+            lambda x, t, **kw: model(x, t, **kw),
+            rng, shape, cond_fn=cond_fn, model_kwargs=model_kwargs,
+        )
+        return self._decode(samples)
+
+    def _edm_batch(self, rng, shape, y, plan, g_steps):
+        """(reference: tools/sampler.py:151-188)"""
+        latents = jax.random.normal(jax.random.fold_in(rng, 0), shape)
+        samples = ablation_sampler(
+            self.cfg_model, jax.random.fold_in(rng, 1), latents, plan,
+            class_labels=y, guidance_scales=g_steps,
+            img_channels=self.cfg.in_chans,
+        )
+        return self._decode(samples)
+
+    def _flow_batch(self, rng, shape, y):
+        """(reference: tools/sampler.py:190-214)"""
+        noise = jax.random.normal(jax.random.fold_in(rng, 0), shape)
+        model_kwargs = {"y": y} if self.cfg.class_cond else {}
+        samples = self.diffusion.sample(
+            lambda x, t, **kw: self.cfg_model(x, t, **kw),
+            jax.random.fold_in(rng, 1), noise,
+            num_steps=self.cfg.sample_steps, solver=self.cfg.solver,
+            model_kwargs=model_kwargs,
+        )
+        return self._decode(samples)
+
+    # ------------------------------------------------------------- #
+    # public API (reference: tools/sampler.py:260-268)
+    # ------------------------------------------------------------- #
+
+    def sample(self, rng, num_samples, sample_size, image_size, num_classes,
+               progress_bar=False) -> Tuple[np.ndarray, Optional[np.ndarray]]:
+        cfg = self.cfg
+        shape = (sample_size, image_size, image_size, cfg.in_chans)
+
+        if cfg.model_mode == "flow":
+            batch_fn = self._flow_batch
+        elif cfg.model_mode == "diffusion":
+            if cfg.solver == "ddim":
+                batch_fn = self._ddim_batch
+            else:
+                plan = build_edm_plan(
+                    num_steps=cfg.sample_steps, solver=cfg.solver,
+                    discretization=cfg.discretization, schedule=cfg.schedule,
+                    scaling=cfg.scaling, noise_schedule=cfg.path_type,
+                    pred_type=cfg.mean_type,
+                )
+                g_steps = np.array([
+                    cfg_scale_for_time(t, cfg.guidance_scale,
+                                       tuple(cfg.interval))
+                    for t in plan.c_noise_hat
+                ])
+                batch_fn = functools.partial(
+                    self._edm_batch, plan=plan, g_steps=g_steps
+                )
+        else:
+            raise ValueError(f"Unsupported model_mode: {cfg.model_mode}")
+
+        jitted = jax.jit(batch_fn, static_argnums=(1,))
+        all_samples: List[np.ndarray] = []
+        all_labels: List[np.ndarray] = []
+        produced = 0
+        batch_idx = 0
+        pbar = None
+        if progress_bar:
+            from tqdm import tqdm
+
+            pbar = tqdm(total=num_samples, desc=f"Sampling ({cfg.solver})")
+        while produced < num_samples:
+            bk = jax.random.fold_in(rng, batch_idx)
+            y = self._get_y_cond(jax.random.fold_in(bk, 7), sample_size,
+                                 num_classes)
+            out = jitted(bk, shape, y)
+            all_samples.append(np.asarray(out))
+            if cfg.class_cond:
+                all_labels.append(np.asarray(y))
+            produced += sample_size
+            batch_idx += 1
+            if pbar is not None:
+                pbar.update(sample_size)
+        if pbar is not None:
+            pbar.close()
+        samples = np.concatenate(all_samples, axis=0)[:num_samples]
+        labels = (
+            np.concatenate(all_labels, axis=0)[:num_samples]
+            if cfg.class_cond else None
+        )
+        return samples, labels

