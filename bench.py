@@ -1,0 +1,106 @@
+"""Headline benchmark: flagship DiT-B/2 latent-ImageNet train throughput.
+
+Measures imgs/sec/chip of the donated jitted train step (q_sample ->
+variance-aware weighting -> DiT fwd/bwd -> AdamW -> EMA, bf16 compute) on
+the flagship recipe shape (reference: run.sh:4-26 — DiT-B/2, 32x32x4
+latents, weight_type lambda, cosine path).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+vs_baseline compares against an A100 estimate for the same recipe under the
+reference stack (torch DDP + AMP): the DiT paper reports ~0.26 s/iter for
+DiT-B/2 at global batch 256 on A100s (~ >= 950 imgs/s/GPU); we use
+1000 imgs/s/A100 as the baseline denominator until the reference recipe is
+profiled directly (BASELINE.md: baseline must be measured; this slot is the
+documented estimate).
+"""
+
+import json
+import sys
+import time
+
+
+A100_BASELINE_IMGS_PER_SEC = 1000.0
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from vaw_tpu.core import (
+        GaussianDiffusion, ModelMeanType, get_named_beta_schedule,
+        make_schedule,
+    )
+    from vaw_tpu.models.dit import DiT_B
+    from vaw_tpu.parallel import make_mesh, shard_batch
+    from vaw_tpu.train import Trainer
+    from vaw_tpu.utils.config import TrainConfig
+
+    batch = 128
+    cfg = TrainConfig(
+        model="DiT-B", image_size=32, in_chans=4, patch_size=2,
+        num_classes=1000, class_cond=True, batch_size=batch,
+        weight_type="lambda", mean_type="EPSILON", path_type="cosine",
+        drop_label_prob=0.1, amp=True, lr=1e-4, betas=(0.9, 0.95),
+    )
+    model = DiT_B(
+        image_size=32, patch_size=2, in_channels=4, class_dropout_prob=0.1,
+        num_classes=1000, learn_sigma=False, dtype=jnp.bfloat16,
+    )
+    sched = make_schedule(get_named_beta_schedule("cosine", 1000))
+    process = GaussianDiffusion(
+        schedule=sched, model_mean_type=ModelMeanType.EPSILON,
+        weight_type="lambda",
+    )
+    mesh = make_mesh()
+    trainer = Trainer(cfg, model, process, mesh)
+
+    rs = np.random.RandomState(0)
+    host_batch = {
+        "image": rs.randn(batch, 32, 32, 4).astype(np.float32),
+        "label": rs.randint(0, 1000, size=(batch,)).astype(np.int32),
+    }
+    state = trainer.init_state(jax.random.key(0), host_batch)
+    dev_batch = shard_batch(mesh, host_batch)
+
+    # Warmup (compile) + 3 steps. float() forces a device->host readback:
+    # on the axon tunnel, block_until_ready returns before execution
+    # completes, so timing must be closed by materializing a value that
+    # depends on the whole step chain.
+    for _ in range(3):
+        state, metrics = trainer.step(state, dev_batch)
+    float(metrics["loss"])
+
+    n_steps = 20
+    t0 = time.perf_counter()
+    for _ in range(n_steps):
+        state, metrics = trainer.step(state, dev_batch)
+    # The final loss depends on every prior step through the donated state
+    # chain; reading it back bounds the true wall-clock of all n_steps.
+    float(metrics["loss"])
+    dt = time.perf_counter() - t0
+
+    n_chips = len(jax.devices())
+    imgs_per_sec_chip = batch * n_steps / dt / n_chips
+    print(json.dumps({
+        "metric": "dit_b2_latent_train_imgs_per_sec_chip",
+        "value": round(imgs_per_sec_chip, 2),
+        "unit": "imgs/sec/chip",
+        "vs_baseline": round(imgs_per_sec_chip / A100_BASELINE_IMGS_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    try:
+        main()
+    except Exception as e:  # noqa: BLE001 — the driver needs one JSON line even on failure
+        print(json.dumps({
+            "metric": "dit_b2_latent_train_imgs_per_sec_chip",
+            "value": 0.0,
+            "unit": "imgs/sec/chip",
+            "vs_baseline": 0.0,
+            "error": f"{type(e).__name__}: {e}"[:300],
+        }))
+        sys.exit(0)

@@ -1,0 +1,134 @@
+"""Data pipeline + config system tests."""
+
+import dataclasses
+import os
+
+import numpy as np
+import pytest
+
+from vaw_tpu.data import (
+    BatchLoader,
+    GaussianDataset,
+    ImageFolderDataset,
+    LatentDataset,
+    LatentWithPixelDataset,
+    center_crop_arr,
+    load_dataset,
+)
+from vaw_tpu.utils.config import (
+    TrainConfig,
+    add_sample_args,
+    add_train_args,
+    config_from_args,
+)
+import argparse
+
+
+def test_center_crop_arr_matches_adm_semantics():
+    from PIL import Image
+
+    # 100x80 image -> 32: halve once (50x40), scale to min=32, center crop.
+    img = Image.fromarray(
+        np.random.RandomState(0).randint(0, 255, (80, 100, 3), np.uint8)
+    )
+    out = center_crop_arr(img, 32)
+    assert out.shape == (32, 32, 3)
+
+
+def test_gaussian_dataset_and_loader():
+    ds = GaussianDataset(image_size=8, channels=3, num_classes=5, length=64)
+    loader = BatchLoader(ds, batch_size=16)
+    batches = list(loader)
+    assert len(batches) == 4
+    assert batches[0]["image"].shape == (16, 8, 8, 3)
+    assert batches[0]["label"].shape == (16,)
+    # forever() cycles epochs
+    it = loader.forever()
+    for _ in range(6):
+        next(it)
+
+
+def test_image_folder_dataset(tmp_path):
+    from PIL import Image
+
+    for cls in ["cat", "dog"]:
+        d = tmp_path / cls
+        d.mkdir()
+        for i in range(3):
+            Image.fromarray(
+                np.random.RandomState(i).randint(0, 255, (40, 40, 3), np.uint8)
+            ).save(d / f"{i}.png")
+    ds = ImageFolderDataset(str(tmp_path), image_size=16, flip=False)
+    assert len(ds) == 6
+    b = ds.get_batch(np.arange(6))
+    assert b["image"].shape == (6, 16, 16, 3)
+    assert b["image"].min() >= -1 and b["image"].max() <= 1
+    assert set(b["label"]) == {0, 1}
+
+
+def test_latent_h5_datasets(tmp_path):
+    import h5py
+
+    path = str(tmp_path / "latents.h5")
+    rs = np.random.RandomState(0)
+    with h5py.File(path, "w") as f:
+        f["train_latents"] = rs.randn(20, 8, 4, 4).astype(np.float32)  # CHW
+        f["train_labels"] = np.arange(20)
+        f["train_pixels"] = rs.randint(
+            0, 255, (20, 3, 32, 32)).astype(np.uint8)
+    ds = LatentDataset(path)
+    b = ds.get_batch(np.array([3, 1, 7]))
+    assert b["image"].shape == (3, 4, 4, 8)  # HWC
+    np.testing.assert_array_equal(b["label"], [3, 1, 7])
+    dsp = LatentWithPixelDataset(path)
+    bp = dsp.get_batch(np.array([0, 2]))
+    assert bp["pixels"].shape == (2, 32, 32, 3)
+
+
+def test_load_dataset_gaussian():
+    train, test = load_dataset("/nonexistent", "Gaussian", 32, 16)
+    batch = next(iter(train))
+    assert batch["image"].shape == (32, 16, 16, 3)
+
+
+def test_config_cli_roundtrip():
+    p = argparse.ArgumentParser()
+    add_train_args(p)
+    cfg = config_from_args(p.parse_args([
+        "--model", "DiT-B", "--weight_type", "lambda", "--image_size", "32",
+        "--in_chans", "4", "--class_cond", "True", "--num_classes", "1000",
+        "--betas", "0.9", "0.95", "--path_type", "cosine",
+        "--interval", "0.2", "0.8",
+    ]))
+    assert cfg.model == "DiT-B"
+    assert cfg.weight_type == "lambda"
+    assert cfg.betas == (0.9, 0.95)
+    assert cfg.interval == (0.2, 0.8)
+    assert cfg.class_cond is True
+    d = cfg.to_dict()
+    assert d["model"] == "DiT-B"
+
+
+def test_sample_args_defaults_delta():
+    """sample.py changes warmup/cosine defaults
+    (reference: sample.py vs main.py flag deltas, SURVEY.md section 5)."""
+    p = argparse.ArgumentParser()
+    add_sample_args(p)
+    cfg = config_from_args(p.parse_args([]))
+    assert cfg.warmup_steps == 5000
+    assert cfg.cosine_decay is True
+    assert cfg.train is False
+    assert hasattr(cfg, "save_path") and cfg.atol == 1e-6
+
+    p2 = argparse.ArgumentParser()
+    add_train_args(p2)
+    cfg2 = config_from_args(p2.parse_args([]))
+    assert cfg2.warmup_steps == 0
+    assert cfg2.cosine_decay is False
+
+
+def test_compute_dtype_policy():
+    import jax.numpy as jnp
+
+    assert TrainConfig(amp=True).compute_dtype == jnp.bfloat16
+    assert TrainConfig(amp=False).compute_dtype == jnp.float32

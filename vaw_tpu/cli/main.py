@@ -1,0 +1,283 @@
+"""Train + eval driver, flag-compatible with the reference main.py
+(reference: main.py:36-405).
+
+The structure mirrors the reference: parse_args -> init (dataset, diffusion,
+model, sampler, optimizer, evaluator) -> train loop with periodic
+sample/save/eval -> final eval. The step loop body is one donated jitted
+SPMD program (train.Trainer); sampling/eval run jitted scan loops.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import (
+    FlowMatching,
+    GaussianDiffusion,
+    LossType,
+    ModelMeanType,
+    ModelVarType,
+    get_named_beta_schedule,
+    make_schedule,
+    respace_schedule,
+    space_timesteps,
+)
+from ..data import load_dataset, prefetch_to_device
+from ..models import build_model
+from ..parallel import make_mesh, shard_batch
+from ..samplers import Sampler
+from ..train import Trainer, load_checkpoint, save_checkpoint
+from ..utils import (
+    add_train_args,
+    config_from_args,
+    generate_logdir,
+    save_grid_png,
+    save_metrics_to_csv,
+    save_eval_npz,
+)
+
+__all__ = ["parse_args", "build_diffusion", "init", "train", "evaluate",
+           "main"]
+
+
+def parse_args(argv=None):
+    parser = argparse.ArgumentParser(
+        description="Train and evaluate guided diffusion models (TPU)"
+    )
+    add_train_args(parser)
+    return config_from_args(parser.parse_args(argv))
+
+
+def build_diffusion(cfg, use_ddim: bool = False):
+    """(reference: main.py:224-256)"""
+    if cfg.model_mode == "diffusion":
+        betas = get_named_beta_schedule(cfg.path_type, cfg.diffusion_steps)
+        base = make_schedule(betas)
+        if use_ddim and cfg.sample_steps < cfg.diffusion_steps:
+            sched = respace_schedule(
+                base, space_timesteps(cfg.diffusion_steps,
+                                      f"ddim{cfg.sample_steps}")
+            )
+        else:
+            sched = base
+        return GaussianDiffusion(
+            schedule=sched,
+            model_mean_type=ModelMeanType[cfg.mean_type.upper()],
+            model_var_type=ModelVarType[cfg.var_type.upper()],
+            loss_type=LossType[cfg.loss_type.upper()],
+            rescale_timesteps=True,
+            weight_type=cfg.weight_type,
+            p2_k=cfg.p2_k, p2_gamma=cfg.p2_gamma, gamma=cfg.gamma,
+            learn_align=cfg.learn_align, align_type=cfg.align_type,
+        )
+    if cfg.model_mode == "flow":
+        return FlowMatching(
+            model_mean_type=ModelMeanType[cfg.mean_type.upper()],
+            path_type=cfg.path_type, sampler_type=cfg.sampler_type,
+            weight_type=cfg.weight_type, p2_k=cfg.p2_k,
+            p2_gamma=cfg.p2_gamma, gamma=cfg.gamma,
+            learn_align=cfg.learn_align, align_type=cfg.align_type,
+            time_dist=tuple(cfg.time_dist),
+        )
+    raise ValueError(f"Unsupported model_mode: {cfg.model_mode}")
+
+
+def _build_evaluator(cfg):
+    """TF1-graph InceptionV3 metrics stack when the frozen graph + reference
+    stats exist (reference: main.py:370-384); None otherwise."""
+    try:
+        from ..evals import Evaluator
+
+        if not os.path.exists(cfg.ref_batch):
+            print(f"[eval] ref batch {cfg.ref_batch} not found; "
+                  "FID eval disabled")
+            return None, None, None, None
+        evaluator = Evaluator()
+        ref_acts = evaluator.read_activations(cfg.ref_batch)
+        ref_stats, ref_stats_spatial = evaluator.read_statistics(
+            cfg.ref_batch, ref_acts
+        )
+        return evaluator, ref_acts, ref_stats, ref_stats_spatial
+    except Exception as e:  # noqa: BLE001 — eval stack is optional at train time
+        print(f"[eval] evaluator unavailable ({e}); FID eval disabled")
+        return None, None, None, None
+
+
+def init(cfg):
+    """(reference: main.py:319-391)"""
+    mesh = make_mesh(data_axis=cfg.data_axis, model_axis=cfg.model_axis)
+    generate_logdir(cfg)
+
+    train_loader, val_loader = load_dataset(
+        cfg.data_dir, cfg.dataset, cfg.batch_size, cfg.image_size,
+        num_workers=cfg.num_workers, seed=cfg.seed,
+    )
+
+    diffusion = build_diffusion(cfg, use_ddim=False)
+    sample_diffusion = build_diffusion(cfg, use_ddim=True)
+
+    model = build_model(cfg)
+    trainer = Trainer(cfg, model, diffusion, mesh)
+
+    sample_batch = next(iter(train_loader))
+    state = trainer.init_state(jax.random.key(cfg.seed), sample_batch)
+
+    if cfg.resume:
+        state = load_checkpoint(cfg.resume, state)
+        print(f"==> Resumed from {cfg.resume} at step {int(state.step)}")
+
+    vae_decode_fn = None
+    if cfg.in_chans == 4:
+        try:
+            from ..data.vae import load_vae_decoder
+
+            vae_decode_fn = load_vae_decoder(cfg.vae)
+        except Exception as e:  # noqa: BLE001
+            print(f"[vae] decoder unavailable ({e}); "
+                  "samples stay in latent space")
+
+    evaluator, ref_acts, ref_stats, ref_stats_spatial = (
+        (None, None, None, None) if not cfg.eval else _build_evaluator(cfg)
+    )
+
+    return {
+        "mesh": mesh, "trainer": trainer, "state": state,
+        "train_loader": train_loader, "val_loader": val_loader,
+        "diffusion": diffusion, "sample_diffusion": sample_diffusion,
+        "model": model, "vae_decode_fn": vae_decode_fn,
+        "evaluator": evaluator, "ref_acts": ref_acts,
+        "ref_stats": ref_stats, "ref_stats_spatial": ref_stats_spatial,
+    }
+
+
+def _make_sampler(cfg, ctx, ema: bool = True) -> Sampler:
+    model, state = ctx["model"], ctx["state"]
+    params = state.ema_params if ema else state.params
+
+    def model_fn(x, t, **kw):
+        return model.apply({"params": params}, x, t, train=False, **kw)
+
+    return Sampler(cfg, model_fn, diffusion=ctx["sample_diffusion"],
+                   vae_decode_fn=ctx["vae_decode_fn"])
+
+
+def generate_samples(cfg, step, ctx, save_grid=False):
+    """(reference: tools/utils.py:123-165)"""
+    sampler = _make_sampler(cfg, ctx)
+    n = 64 if save_grid else cfg.num_samples
+    samples, labels = sampler.sample(
+        jax.random.key(cfg.seed + step), n,
+        min(cfg.sample_size, n), cfg.image_size, cfg.num_classes,
+        progress_bar=not save_grid,
+    )
+    if save_grid:
+        path = save_grid_png(cfg.logdir, step, samples)
+        print(f"[sample] grid saved: {path}")
+    else:
+        save_eval_npz(cfg.logdir, cfg.dataset, samples, labels)
+    return samples
+
+
+def evaluate(cfg, step, ctx):
+    """(reference: main.py:258-275, tools/utils.py:168-188)"""
+    evaluator = ctx["evaluator"]
+    if evaluator is None:
+        print("[eval] skipped (no evaluator)")
+        return
+    arr = generate_samples(cfg, step, ctx, save_grid=False)
+    batches = [arr[i: i + cfg.sample_size]
+               for i in range(0, len(arr), cfg.sample_size)]
+    sample_acts = evaluator.compute_activations(batches)
+    sample_stats, sample_stats_spatial = (
+        evaluator.compute_statistics(x) for x in sample_acts
+    )
+    is_score = evaluator.compute_inception_score(sample_acts[0])
+    fid = sample_stats.frechet_distance(ctx["ref_stats"])
+    sfid = sample_stats_spatial.frechet_distance(ctx["ref_stats_spatial"])
+    pre, rec = evaluator.compute_prec_recall(ctx["ref_acts"][0],
+                                             sample_acts[0])
+    print(f"Model(EMA): IS:{is_score:.2f}, FID:{fid:.2f}, sFID:{sfid:.2f}, "
+          f"Pre:{pre:.2f}, Rec:{rec:.2f}")
+    save_metrics_to_csv(cfg.logdir, {
+        "IS (EMA)": is_score, "FID (EMA)": fid, "sFID (EMA)": sfid,
+        "Pre. (EMA)": pre, "Rec. (EMA)": rec,
+    }, step)
+
+
+def train(cfg, ctx):
+    """(reference: main.py:278-316)"""
+    from tqdm import trange
+
+    trainer, mesh = ctx["trainer"], ctx["mesh"]
+    state = ctx["state"]
+    n_params = sum(
+        x.size for x in jax.tree_util.tree_leaves(state.params)
+    )
+    print(f"Model params: {n_params / 1e6:.2f} M")
+    print(f"Total batch size (per update step): "
+          f"{cfg.batch_size * cfg.grad_accumulation}")
+
+    start_step = int(state.step)
+    micro = cfg.batch_size * max(1, cfg.grad_accumulation)
+    data_iter = prefetch_to_device(
+        _rebatched(ctx["train_loader"], micro), mesh
+    )
+
+    with trange(start_step, cfg.total_steps, initial=start_step,
+                total=cfg.total_steps, dynamic_ncols=True) as pbar:
+        for step in range(start_step + 1, cfg.total_steps + 1):
+            batch = next(data_iter)
+            state, metrics = trainer.step(state, batch)
+            ctx["state"] = state
+            if step % 50 == 0 or step == cfg.total_steps:
+                pbar.set_postfix(
+                    mse=f"{float(metrics.get('mse', metrics['loss'])):.4f}"
+                )
+            pbar.update(1)
+
+            if cfg.sample_freq > 0 and step % cfg.sample_freq == 0:
+                generate_samples(cfg, step, ctx, save_grid=True)
+            if cfg.save_step > 0 and step % cfg.save_step == 0:
+                path = save_checkpoint(cfg, step, state)
+                print(f"Checkpoint saved: {path}")
+            if cfg.eval and cfg.eval_step > 0 and step % cfg.eval_step == 0:
+                evaluate(cfg, step, ctx)
+    return state
+
+
+def _rebatched(loader, batch_size):
+    """Regroup loader batches to the global micro*accum batch size."""
+    if loader.batch_size == batch_size:
+        yield from loader.forever()
+        return
+    buf = None
+    for batch in loader.forever():
+        buf = batch if buf is None else {
+            k: np.concatenate([buf[k], batch[k]]) for k in batch
+        }
+        while len(next(iter(buf.values()))) >= batch_size:
+            yield {k: v[:batch_size] for k, v in buf.items()}
+            buf = {k: v[batch_size:] for k, v in buf.items()}
+
+
+def main(argv=None):
+    cfg = parse_args(argv)
+    ctx = init(cfg)
+    if cfg.train:
+        train(cfg, ctx)
+    if cfg.eval and not cfg.train:
+        assert cfg.resume, (
+            "Evaluation requires a checkpoint path provided with --resume"
+        )
+        evaluate(cfg, int(ctx["state"].step), ctx)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,338 @@
+"""Input pipelines: CIFAR-10, synthetic Gaussian, image folders
+(CelebA/ImageNet/LSUN), and latent HDF5 datasets.
+
+TPU-first re-design of the reference data layer
+(reference: datasets/data_loader.py): the reference reopens the HDF5 file
+per item (data_loader.py:76-81) and feeds per-GPU DataLoaders through
+DistributedSampler (main.py:166-180); here datasets produce whole numpy
+batches (chunked HDF5 reads, fancy-indexed in-memory arrays) that a single
+SPMD process shards over the 'data' mesh axis, with device prefetch handled
+by data.pipeline. Arrays are NHWC float32 in [-1, 1]; the BOX+BICUBIC
+ADM crop (data_loader.py:16-59) is reproduced exactly for FID parity.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import pickle
+import random
+from typing import Dict, Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+__all__ = [
+    "center_crop_arr",
+    "random_crop_arr",
+    "Cifar10Dataset",
+    "GaussianDataset",
+    "ImageFolderDataset",
+    "LatentDataset",
+    "LatentWithPixelDataset",
+    "load_dataset",
+    "BatchLoader",
+]
+
+
+# ------------------------------------------------------------------- #
+# ADM-faithful crops (reference: datasets/data_loader.py:16-59)
+# ------------------------------------------------------------------- #
+
+
+def center_crop_arr(pil_image, image_size: int):
+    from PIL import Image
+
+    while min(*pil_image.size) >= 2 * image_size:
+        pil_image = pil_image.resize(
+            tuple(x // 2 for x in pil_image.size), resample=Image.BOX
+        )
+    scale = image_size / min(*pil_image.size)
+    pil_image = pil_image.resize(
+        tuple(round(x * scale) for x in pil_image.size), resample=Image.BICUBIC
+    )
+    arr = np.array(pil_image)
+    crop_y = (arr.shape[0] - image_size) // 2
+    crop_x = (arr.shape[1] - image_size) // 2
+    return arr[crop_y: crop_y + image_size, crop_x: crop_x + image_size]
+
+
+def random_crop_arr(pil_image, image_size: int, min_crop_frac=0.8,
+                    max_crop_frac=1.0):
+    from PIL import Image
+
+    min_smaller = math.ceil(image_size / max_crop_frac)
+    max_smaller = math.ceil(image_size / min_crop_frac)
+    smaller = random.randrange(min_smaller, max_smaller + 1)
+    while min(*pil_image.size) >= 2 * smaller:
+        pil_image = pil_image.resize(
+            tuple(x // 2 for x in pil_image.size), resample=Image.BOX
+        )
+    scale = smaller / min(*pil_image.size)
+    pil_image = pil_image.resize(
+        tuple(round(x * scale) for x in pil_image.size), resample=Image.BICUBIC
+    )
+    arr = np.array(pil_image)
+    crop_y = random.randrange(arr.shape[0] - image_size + 1)
+    crop_x = random.randrange(arr.shape[1] - image_size + 1)
+    return arr[crop_y: crop_y + image_size, crop_x: crop_x + image_size]
+
+
+def _normalize(u8: np.ndarray) -> np.ndarray:
+    """uint8 HWC -> float32 [-1, 1]."""
+    return u8.astype(np.float32) / 127.5 - 1.0
+
+
+# ------------------------------------------------------------------- #
+# datasets — each exposes __len__ and get_batch(indices) -> dict
+# ------------------------------------------------------------------- #
+
+
+class Cifar10Dataset:
+    """CIFAR-10 from the standard python pickle archive
+    (cifar-10-batches-py). The reference downloads via torchvision with a
+    rank-0 + barrier dance (data_loader.py:111-131); here the archive is
+    expected on disk (zero-egress environments) and loaded fully into memory
+    — 180 MB, trivially resident, removing all per-item IO."""
+
+    def __init__(self, data_dir: str, train: bool = True, flip: bool = True):
+        base = os.path.join(data_dir, "cifar-10-batches-py")
+        if not os.path.isdir(base):
+            raise FileNotFoundError(
+                f"CIFAR-10 archive not found at {base}; place the standard "
+                "cifar-10-batches-py directory there."
+            )
+        files = (
+            [f"data_batch_{i}" for i in range(1, 6)] if train
+            else ["test_batch"]
+        )
+        images, labels = [], []
+        for fn in files:
+            with open(os.path.join(base, fn), "rb") as f:
+                d = pickle.load(f, encoding="bytes")
+            images.append(d[b"data"])
+            labels.extend(d[b"labels"])
+        data = np.concatenate(images).reshape(-1, 3, 32, 32)
+        self.images = np.transpose(data, (0, 2, 3, 1)).copy()  # NHWC uint8
+        self.labels = np.asarray(labels, np.int32)
+        self.flip = flip and train
+
+    def __len__(self):
+        return len(self.images)
+
+    def get_batch(self, idx: np.ndarray) -> Dict[str, np.ndarray]:
+        imgs = self.images[idx]
+        if self.flip:
+            do = np.random.rand(len(idx)) < 0.5
+            imgs = np.where(do[:, None, None, None], imgs[:, :, ::-1], imgs)
+        return {"image": _normalize(imgs), "label": self.labels[idx]}
+
+
+class GaussianDataset:
+    """Synthetic standard-normal data (the reference's 'Gaussian' dataset
+    choice, main.py:43) — used for smoke tests and throughput benches."""
+
+    def __init__(self, image_size=32, channels=3, num_classes=0,
+                 length=50_000, seed=0):
+        self.image_size = image_size
+        self.channels = channels
+        self.num_classes = num_classes
+        self.length = length
+        self.rs = np.random.RandomState(seed)
+
+    def __len__(self):
+        return self.length
+
+    def get_batch(self, idx: np.ndarray) -> Dict[str, np.ndarray]:
+        n = len(idx)
+        out = {
+            "image": self.rs.randn(
+                n, self.image_size, self.image_size, self.channels
+            ).astype(np.float32)
+        }
+        if self.num_classes > 0:
+            out["label"] = self.rs.randint(
+                0, self.num_classes, size=(n,)
+            ).astype(np.int32)
+        return out
+
+
+class ImageFolderDataset:
+    """class-subdirectory image folder (CelebA / ImageNet / LSUN exports,
+    reference: datasets/data_loader.py:134-196) with the exact ADM crop."""
+
+    EXTS = (".png", ".jpg", ".jpeg", ".webp", ".bmp")
+
+    def __init__(self, root: str, image_size: int, random_crop=False,
+                 flip=True):
+        self.root = root
+        self.image_size = image_size
+        self.random_crop = random_crop
+        self.flip = flip
+        classes = sorted(
+            d for d in os.listdir(root)
+            if os.path.isdir(os.path.join(root, d))
+        )
+        self.class_to_idx = {c: i for i, c in enumerate(classes)}
+        self.samples: List[Tuple[str, int]] = []
+        if classes:
+            for c in classes:
+                cdir = os.path.join(root, c)
+                for fn in sorted(os.listdir(cdir)):
+                    if fn.lower().endswith(self.EXTS):
+                        self.samples.append(
+                            (os.path.join(cdir, fn), self.class_to_idx[c])
+                        )
+        else:  # flat folder
+            for fn in sorted(os.listdir(root)):
+                if fn.lower().endswith(self.EXTS):
+                    self.samples.append((os.path.join(root, fn), 0))
+        if not self.samples:
+            raise FileNotFoundError(f"no images under {root}")
+
+    def __len__(self):
+        return len(self.samples)
+
+    def _load(self, path: str) -> np.ndarray:
+        from PIL import Image
+
+        with Image.open(path) as im:
+            im = im.convert("RGB")
+            if self.random_crop:
+                arr = random_crop_arr(im, self.image_size)
+            else:
+                arr = center_crop_arr(im, self.image_size)
+        if self.flip and random.random() < 0.5:
+            arr = arr[:, ::-1]
+        return arr
+
+    def get_batch(self, idx: np.ndarray) -> Dict[str, np.ndarray]:
+        imgs = np.stack([self._load(self.samples[i][0]) for i in idx])
+        labels = np.asarray([self.samples[i][1] for i in idx], np.int32)
+        return {"image": _normalize(imgs), "label": labels}
+
+
+class LatentDataset:
+    """VAE-latent HDF5 dataset (reference: datasets/data_loader.py:62-81).
+    Items are [mean | std] 8-channel moment stacks
+    (preprocessing/encode_latent.py:95-100), stored CHW in the reference —
+    transposed to HWC here. The file handle stays open (chunk-cached) rather
+    than reopening per item."""
+
+    def __init__(self, h5_file: str, dataset_type: str = "train"):
+        import h5py
+
+        self.f = h5py.File(h5_file, "r")
+        self.latents = self.f[f"{dataset_type}_latents"]
+        self.labels = self.f[f"{dataset_type}_labels"]
+
+    def __len__(self):
+        return len(self.latents)
+
+    @staticmethod
+    def _sorted_read(ds, idx):
+        order = np.argsort(idx)
+        sorted_idx = idx[order]
+        out = ds[sorted_idx.tolist()]
+        inv = np.empty_like(order)
+        inv[order] = np.arange(len(order))
+        return out[inv]
+
+    def get_batch(self, idx: np.ndarray) -> Dict[str, np.ndarray]:
+        lat = self._sorted_read(self.latents, np.asarray(idx))
+        lab = self._sorted_read(self.labels, np.asarray(idx))
+        lat = np.transpose(lat, (0, 2, 3, 1)).astype(np.float32)  # CHW->HWC
+        return {"image": lat, "label": lab.astype(np.int32)}
+
+
+class LatentWithPixelDataset(LatentDataset):
+    """Latent + uint8 pixels + label, for REPA teacher features
+    (reference: datasets/data_loader.py:84-107)."""
+
+    def __init__(self, h5_file: str, dataset_type: str = "train"):
+        super().__init__(h5_file, dataset_type)
+        self.pixels = self.f[f"{dataset_type}_pixels"]
+
+    def get_batch(self, idx: np.ndarray) -> Dict[str, np.ndarray]:
+        out = super().get_batch(idx)
+        pix = self._sorted_read(self.pixels, np.asarray(idx))
+        out["pixels"] = np.transpose(pix, (0, 2, 3, 1)).astype(np.float32)
+        return out
+
+
+# ------------------------------------------------------------------- #
+# batch loader
+# ------------------------------------------------------------------- #
+
+
+class BatchLoader:
+    """Shuffled epoch iterator producing whole global batches; the SPMD train
+    loop shards them over 'data' (replacing per-rank DataLoaders +
+    DistributedSampler, reference main.py:166-180)."""
+
+    def __init__(self, dataset, batch_size: int, shuffle=True, seed=0,
+                 drop_last=True):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.seed = seed
+        self.epoch = 0
+
+    def __len__(self):
+        n = len(self.dataset)
+        return n // self.batch_size if self.drop_last else math.ceil(
+            n / self.batch_size
+        )
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        n = len(self.dataset)
+        idx = np.arange(n)
+        if self.shuffle:
+            rs = np.random.RandomState(self.seed + self.epoch)
+            rs.shuffle(idx)
+        self.epoch += 1
+        end = n - n % self.batch_size if self.drop_last else n
+        for i in range(0, end, self.batch_size):
+            yield self.dataset.get_batch(idx[i: i + self.batch_size])
+
+    def forever(self) -> Iterator[Dict[str, np.ndarray]]:
+        while True:
+            yield from iter(self)
+
+
+def load_dataset(data_dir: str, dataset: str, batch_size: int,
+                 image_size: int, num_workers: int = 0, shuffle: bool = True,
+                 seed: int = 0):
+    """Unified loader (reference: datasets/data_loader.py:199-224). Returns
+    (train_loader, test_loader)."""
+    if dataset == "CIFAR-10":
+        train = Cifar10Dataset(data_dir, train=True)
+        test = Cifar10Dataset(data_dir, train=False, flip=False)
+    elif dataset == "Gaussian":
+        train = GaussianDataset(image_size=image_size)
+        test = GaussianDataset(image_size=image_size, length=10_000, seed=1)
+    elif dataset in ("CelebA", "ImageNet", "LSUN"):
+        sub = {"CelebA": "celeba", "ImageNet": "train", "LSUN": "lsun"}
+        root = os.path.join(data_dir, sub.get(dataset, ""))
+        if not os.path.isdir(root):
+            root = data_dir
+        train = ImageFolderDataset(root, image_size, random_crop=False)
+        test = train
+    elif dataset == "Latent":
+        path = data_dir if data_dir.endswith(".h5") else os.path.join(
+            data_dir, "latents.h5"
+        )
+        train = LatentDataset(path, "train")
+        test = LatentDataset(path, "train")
+    elif dataset == "Latent_Pixel":
+        path = data_dir if data_dir.endswith(".h5") else os.path.join(
+            data_dir, "latents.h5"
+        )
+        train = LatentWithPixelDataset(path, "train")
+        test = LatentWithPixelDataset(path, "train")
+    else:
+        raise ValueError(f"Unsupported dataset: {dataset}")
+    return (
+        BatchLoader(train, batch_size, shuffle=shuffle, seed=seed),
+        BatchLoader(test, batch_size, shuffle=False, seed=seed),
+    )

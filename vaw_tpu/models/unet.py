@@ -302,6 +302,26 @@ class UNetModel(nn.Module):
                      dtype=jnp.float32)(h).astype(jnp.float32)
 
 
+class SuperResModel(nn.Module):
+    """Super-resolution UNet: conditions on a bilinear-upsampled low-res
+    image concatenated on the channel axis (reference: models/unet.py:690-704).
+    """
+
+    unet: UNetModel
+
+    @nn.compact
+    def __call__(self, x, timesteps, low_res=None, y=None,
+                 train: bool = False, force_drop_ids=None):
+        assert low_res is not None
+        n, h, w, _ = x.shape
+        upsampled = jax.image.resize(
+            low_res, (n, h, w, low_res.shape[-1]), method="bilinear"
+        )
+        x = jnp.concatenate([x, upsampled], axis=-1)
+        return self.unet(x, timesteps, y=y, train=train,
+                         force_drop_ids=force_drop_ids)
+
+
 class AttentionPool2d(nn.Module):
     """CLIP-style attention pooling (reference: models/unet.py:22-51)."""
 

@@ -110,10 +110,13 @@ class Trainer:
             *args,
         )
         params = variables["params"]
+        # EMA starts as a deep copy — distinct buffers, or donating the state
+        # would donate the same buffer twice (f(donate(a), donate(a))).
+        ema = jax.tree_util.tree_map(jnp.copy, params)
         state = TrainState(
             step=jnp.zeros((), jnp.int32),
             params=params,
-            ema_params=params,
+            ema_params=ema,
             opt_state=self.tx.init(params),
         )
         return self.shard_state(state)
