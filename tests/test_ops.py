@@ -1,0 +1,187 @@
+"""Op-pack tests: flash attention vs XLA reference (fwd + grads),
+fused bias+leaky-relu (values, grad, double-backward), upfirdn2d vs a naive
+reference implementation (values, grads, resampling shapes)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from scipy import signal
+
+import vaw_tpu.ops.flash_attention as fa
+from vaw_tpu.ops.attention import _xla_attention, multi_head_attention
+from vaw_tpu.ops.fused_act import fused_leaky_relu
+from vaw_tpu.ops.upfirdn2d import (
+    blur,
+    downsample2d,
+    make_kernel,
+    upfirdn2d,
+    upsample2d,
+)
+
+
+# ------------------------------------------------------------------- #
+# flash attention
+# ------------------------------------------------------------------- #
+
+
+@pytest.fixture
+def small_blocks(monkeypatch):
+    monkeypatch.setattr(fa, "DEFAULT_BLOCK_Q", 32)
+    monkeypatch.setattr(fa, "DEFAULT_BLOCK_K", 32)
+
+
+def _rand_qkv(rng, b, t, h, d):
+    ks = jax.random.split(rng, 3)
+    return tuple(jax.random.normal(k, (b, t, h, d)) for k in ks)
+
+
+def test_flash_matches_xla_forward(small_blocks):
+    q, k, v = _rand_qkv(jax.random.key(0), 2, 64, 2, 8)
+    out_flash = fa.flash_attention(q, k, v)
+    out_ref = _xla_attention(q, k, v, 1.0 / np.sqrt(8))
+    np.testing.assert_allclose(out_flash, out_ref, atol=2e-5)
+
+
+def test_flash_query_padding(small_blocks):
+    # seq_q = 48 pads to 64 with 32-blocks; seq_k stays 64.
+    q, _, _ = _rand_qkv(jax.random.key(1), 2, 48, 2, 8)
+    _, k, v = _rand_qkv(jax.random.key(2), 2, 64, 2, 8)
+    out_flash = fa.flash_attention(q, k, v)
+    out_ref = _xla_attention(q, k, v, 1.0 / np.sqrt(8))
+    assert out_flash.shape == (2, 48, 2, 8)
+    np.testing.assert_allclose(out_flash, out_ref, atol=2e-5)
+
+
+def test_flash_gradients_match_xla(small_blocks):
+    q, k, v = _rand_qkv(jax.random.key(3), 1, 64, 2, 8)
+    w = jax.random.normal(jax.random.key(4), (1, 64, 2, 8))
+
+    def loss_flash(q, k, v):
+        return jnp.sum(fa.flash_attention(q, k, v) * w)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(_xla_attention(q, k, v, 1.0 / np.sqrt(8)) * w)
+
+    gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(gf, gr, "qkv"):
+        np.testing.assert_allclose(a, b, atol=5e-5, err_msg=f"d{name}")
+
+
+def test_mha_routes_and_matches():
+    """multi_head_attention with use_pallas=True == XLA path."""
+    q, k, v = _rand_qkv(jax.random.key(5), 1, 64, 2, 8)
+    np.testing.assert_allclose(
+        multi_head_attention(q, k, v, use_pallas=True),
+        multi_head_attention(q, k, v, use_pallas=False),
+        atol=2e-5,
+    )
+
+
+# ------------------------------------------------------------------- #
+# fused bias + leaky relu
+# ------------------------------------------------------------------- #
+
+
+def test_fused_leaky_relu_values():
+    x = jnp.array([[-2.0, -0.5, 0.0, 1.0]])
+    b = jnp.array([1.0, 0.0, -1.0, 0.5])
+    out = fused_leaky_relu(x, b, 0.2, 2.0)
+    y = np.array([-1.0, -0.5, -1.0, 1.5])
+    expected = np.where(y >= 0, y, y * 0.2) * 2.0
+    np.testing.assert_allclose(out[0], expected, rtol=1e-6)
+
+
+def test_fused_leaky_relu_grad_and_double_backward():
+    """First and second-order grads (the CUDA grad=1/grad=2 paths,
+    reference: tools/op/fused_bias_act_kernel.cu:40-61)."""
+    x = jnp.array([[-1.5, 0.5, 2.0, -0.1]])
+    b = jnp.zeros(4)
+
+    def f(x):
+        return jnp.sum(fused_leaky_relu(x, b, 0.2, 2.0) ** 2)
+
+    g = jax.grad(f)(x)
+    # d/dx (s*m*x)^2 = 2*(s*m)^2*x with m in {1, 0.2}, s=2.
+    m = np.where(np.asarray(x[0]) >= 0, 1.0, 0.2)
+    np.testing.assert_allclose(g[0], 2 * (2.0 * m) ** 2 * np.asarray(x[0]),
+                               rtol=1e-5)
+    # Double backward: Hessian diagonal = 2*(s*m)^2.
+    h = jax.grad(lambda x: jnp.sum(jax.grad(f)(x)))(x)
+    np.testing.assert_allclose(h[0], 2 * (2.0 * m) ** 2, rtol=1e-5)
+
+
+def test_fused_leaky_relu_bias_grad():
+    x = jax.random.normal(jax.random.key(0), (3, 4, 4, 8))
+    b = jax.random.normal(jax.random.key(1), (8,))
+    g = jax.grad(lambda b: jnp.sum(fused_leaky_relu(x, b)))(b)
+    y = np.asarray(x) + np.asarray(b)
+    expected = (np.where(y >= 0, 1.0, 0.2) * np.sqrt(2)).sum(axis=(0, 1, 2))
+    np.testing.assert_allclose(g, expected, rtol=1e-4)
+
+
+# ------------------------------------------------------------------- #
+# upfirdn2d
+# ------------------------------------------------------------------- #
+
+
+def _naive_upfirdn(x, k, up, down, pad0, pad1):
+    """Direct re-derivation of the reference native algorithm
+    (reference: tools/op/upfirdn2d.py:168-209) for a single [h, w] plane."""
+    h, w = x.shape
+    stuffed = np.zeros((h * up, w * up))
+    stuffed[::up, ::up] = x
+    p00, p01 = max(pad0, 0), max(pad1, 0)
+    arr = np.pad(stuffed, ((p00, p01), (p00, p01)))
+    c0, c1 = max(-pad0, 0), max(-pad1, 0)
+    arr = arr[c0: arr.shape[0] - c1, c0: arr.shape[1] - c1]
+    out = signal.convolve2d(arr, k, mode="valid")
+    return out[::down, ::down]
+
+
+@pytest.mark.parametrize("up,down,pad", [
+    (1, 1, (1, 1)), (2, 1, (2, 1)), (1, 2, (1, 1)), (2, 2, (3, 2)),
+    (1, 1, (-1, 2)),
+])
+def test_upfirdn2d_matches_naive(up, down, pad):
+    rs = np.random.RandomState(0)
+    x = rs.randn(2, 6, 6, 3).astype(np.float32)
+    k = make_kernel([1, 3, 3, 1])
+    out = np.asarray(upfirdn2d(jnp.asarray(x), k, up=up, down=down, pad=pad))
+    for n in range(2):
+        for c in range(3):
+            expected = _naive_upfirdn(x[n, :, :, c], k, up, down, *pad)
+            np.testing.assert_allclose(
+                out[n, :, :, c], expected, atol=1e-5,
+                err_msg=f"up={up} down={down} pad={pad}",
+            )
+
+
+def test_upsample_downsample_shapes_and_dc():
+    x = jnp.ones((1, 8, 8, 2))
+    up = upsample2d(x)
+    assert up.shape == (1, 16, 16, 2)
+    # DC preservation: constant input stays ~constant in the interior.
+    np.testing.assert_allclose(np.asarray(up)[0, 4:12, 4:12, 0], 1.0,
+                               rtol=1e-5)
+    down = downsample2d(x)
+    assert down.shape == (1, 4, 4, 2)
+    np.testing.assert_allclose(np.asarray(down)[0, 1:3, 1:3, 0], 1.0,
+                               rtol=1e-5)
+    b = blur(x)
+    assert b.shape[1] >= 8
+
+
+def test_upfirdn2d_differentiable_to_second_order():
+    x = jax.random.normal(jax.random.key(0), (1, 6, 6, 2))
+    k = make_kernel([1, 2, 1])
+
+    def f(x):
+        return jnp.sum(upfirdn2d(x, k, up=2, down=2, pad=(1, 1)) ** 2)
+
+    g = jax.grad(f)(x)
+    assert g.shape == x.shape
+    assert np.isfinite(np.asarray(g)).all()
+    h = jax.grad(lambda x: jnp.sum(jax.grad(f)(x) ** 2))(x)
+    assert np.isfinite(np.asarray(h)).all()

@@ -1,0 +1,240 @@
+"""Pallas TPU flash attention (non-causal, static shapes) with custom VJP.
+
+TPU-native equivalent of the reference's attention backends — PyTorch SDPA
+flash attention in U-ViT (reference: models/uvit.py:8-18, 67-93) and the
+fp32-softmax QKVAttention in the UNet (models/unet.py:329-394). The forward
+kernel tiles queries over the grid and streams K/V blocks through VMEM with
+an online (log-sum-exp) softmax in f32 — the [T, T] score matrix is never
+materialized, so memory is O(T) instead of O(T^2). The backward kernel
+recomputes probabilities blockwise from the saved logsumexp (standard
+flash-attention backward) and accumulates dK/dV across query blocks inside
+the sequential TPU grid.
+
+ops.attention routes here for long sequences; at the reference's native
+token counts (<= 1026) XLA's fused attention is already optimal.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["flash_attention"]
+
+DEFAULT_BLOCK_Q = 256
+DEFAULT_BLOCK_K = 256
+
+
+def _interpret() -> bool:
+    """Compiled Mosaic on real TPUs (incl. the tunneled 'axon' platform);
+    interpreter mode on CPU so the same tests run on the virtual mesh."""
+    return jax.devices()[0].platform not in ("tpu", "axon")
+
+
+def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale, block_k,
+                seq_k):
+    q = q_ref[0].astype(jnp.float32) * scale  # [bq, d]
+    block_q, d = q.shape
+
+    def body(j, carry):
+        acc, m_i, l_i = carry
+        k = k_ref[0, pl.ds(j * block_k, block_k), :].astype(jnp.float32)
+        v = v_ref[0, pl.ds(j * block_k, block_k), :].astype(jnp.float32)
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [bq, bk]
+        m_new = jnp.maximum(m_i, jnp.max(s, axis=1))
+        alpha = jnp.exp(m_i - m_new)
+        p = jnp.exp(s - m_new[:, None])
+        acc = acc * alpha[:, None] + jax.lax.dot_general(
+            p, v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        l_i = l_i * alpha + jnp.sum(p, axis=1)
+        return acc, m_new, l_i
+
+    acc = jnp.zeros((block_q, d), jnp.float32)
+    m_i = jnp.full((block_q,), -1e30, jnp.float32)
+    l_i = jnp.zeros((block_q,), jnp.float32)
+    acc, m_i, l_i = jax.lax.fori_loop(
+        0, seq_k // block_k, body, (acc, m_i, l_i)
+    )
+    o_ref[0] = (acc / l_i[:, None]).astype(o_ref.dtype)
+    lse_ref[0] = (m_i + jnp.log(l_i))[:, None]
+
+
+def _bwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, do_ref,
+                dq_ref, dk_ref, dv_ref, *, scale, block_k, seq_k):
+    i = pl.program_id(1)
+
+    @pl.when(i == 0)
+    def _():
+        dk_ref[0] = jnp.zeros_like(dk_ref[0])
+        dv_ref[0] = jnp.zeros_like(dv_ref[0])
+
+    q = q_ref[0].astype(jnp.float32) * scale
+    do = do_ref[0].astype(jnp.float32)
+    o = o_ref[0].astype(jnp.float32)
+    lse = lse_ref[0][:, 0]
+    block_q, d = q.shape
+    delta = jnp.sum(do * o, axis=1)  # rowsum(dO * O)
+
+    def body(j, dq):
+        k = k_ref[0, pl.ds(j * block_k, block_k), :].astype(jnp.float32)
+        v = v_ref[0, pl.ds(j * block_k, block_k), :].astype(jnp.float32)
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        p = jnp.exp(s - lse[:, None])  # [bq, bk]
+        dp = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        ds = p * (dp - delta[:, None])
+        dv_ref[0, pl.ds(j * block_k, block_k), :] += jax.lax.dot_general(
+            p, do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        # dK accumulates ds^T q; the q here already carries one factor of
+        # `scale`, which is exactly dK = scale * (ds^T q_raw).
+        dk_ref[0, pl.ds(j * block_k, block_k), :] += jax.lax.dot_general(
+            ds, q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return dq + jax.lax.dot_general(
+            ds, k, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    dq = jnp.zeros((block_q, d), jnp.float32)
+    dq = jax.lax.fori_loop(0, seq_k // block_k, body, dq)
+    dq_ref[0] = (dq * scale).astype(dq_ref.dtype)
+
+
+def _pad_q(x, multiple):
+    size = x.shape[1]
+    rem = size % multiple
+    if rem == 0:
+        return x, size
+    return jnp.pad(x, ((0, 0), (0, multiple - rem), (0, 0))), size
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _flash(q, k, v, scale):
+    out, _ = _flash_fwd(q, k, v, scale)
+    return out
+
+
+def _flash_fwd(q, k, v, scale):
+    bh, seq_q, d = q.shape
+    seq_k = k.shape[1]
+    block_q = min(DEFAULT_BLOCK_Q, seq_q)
+    block_k = min(DEFAULT_BLOCK_K, seq_k)
+    assert seq_k % block_k == 0, (
+        f"flash_attention requires seq_k divisible by {block_k}; got {seq_k}"
+    )
+    q_p, orig_q = _pad_q(q, block_q)
+    padded_q = q_p.shape[1]
+
+    kernel = functools.partial(
+        _fwd_kernel, scale=scale, block_k=block_k, seq_k=seq_k
+    )
+    out, lse = pl.pallas_call(
+        kernel,
+        grid=(bh, padded_q // block_q),
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, seq_k, d), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, seq_k, d), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, 1), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, padded_q, d), q.dtype),
+            jax.ShapeDtypeStruct((bh, padded_q, 1), jnp.float32),
+        ],
+        interpret=_interpret(),
+    )(q_p, k, v)
+    return out[:, :orig_q], (q, k, v, out, lse)
+
+
+def _flash_bwd(scale, res, g):
+    q, k, v, out_p, lse = res
+    bh, seq_q, d = q.shape
+    seq_k = k.shape[1]
+    block_q = min(DEFAULT_BLOCK_Q, seq_q)
+    block_k = min(DEFAULT_BLOCK_K, seq_k)
+    q_p, orig_q = _pad_q(q, block_q)
+    g_p, _ = _pad_q(g, block_q)
+    padded_q = q_p.shape[1]
+
+    kernel = functools.partial(
+        _bwd_kernel, scale=scale, block_k=block_k, seq_k=seq_k
+    )
+    dq, dk, dv = pl.pallas_call(
+        kernel,
+        grid=(bh, padded_q // block_q),
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, seq_k, d), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, seq_k, d), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, 1), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, seq_k, d), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, seq_k, d), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, padded_q, d), q.dtype),
+            jax.ShapeDtypeStruct((bh, seq_k, d), jnp.float32),
+            jax.ShapeDtypeStruct((bh, seq_k, d), jnp.float32),
+        ],
+        interpret=_interpret(),
+    )(q_p, k, v, out_p, lse, g_p)
+    return (
+        dq[:, :orig_q].astype(q.dtype),
+        dk.astype(k.dtype),
+        dv.astype(v.dtype),
+    )
+
+
+_flash.defvjp(lambda q, k, v, scale: _flash_fwd(q, k, v, scale), _flash_bwd)
+
+
+def flash_attention(q, k, v, scale=None):
+    """q/k/v: [B, T, H, D] -> [B, T, H, D], f32 online softmax."""
+    b, tq, h, d = q.shape
+    tk = k.shape[1]
+    if scale is None:
+        scale = 1.0 / math.sqrt(d)
+    qf = q.transpose(0, 2, 1, 3).reshape(b * h, tq, d)
+    kf = k.transpose(0, 2, 1, 3).reshape(b * h, tk, d)
+    vf = v.transpose(0, 2, 1, 3).reshape(b * h, tk, d)
+    out = _flash(qf, kf, vf, float(scale))
+    return out.reshape(b, h, tq, d).transpose(0, 2, 1, 3)
