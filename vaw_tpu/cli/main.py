@@ -124,7 +124,20 @@ def init(cfg):
     sample_diffusion = build_diffusion(cfg, use_ddim=True)
 
     model = build_model(cfg)
-    trainer = Trainer(cfg, model, diffusion, mesh)
+
+    encoder_fn = None
+    if cfg.learn_align:
+        try:
+            from ..encoders import initialize_encoders
+
+            encoder_fn, _family = initialize_encoders(
+                cfg.enc_type, cfg.image_size
+            )
+        except Exception as e:  # noqa: BLE001 — teachers need local weights
+            print(f"[align] teacher encoder unavailable ({e}); "
+                  "align features must come from the dataset")
+
+    trainer = Trainer(cfg, model, diffusion, mesh, encoder_fn=encoder_fn)
 
     sample_batch = next(iter(train_loader))
     state = trainer.init_state(jax.random.key(cfg.seed), sample_batch)

@@ -1,0 +1,74 @@
+"""REPA align glue: teacher init + per-family pixel preprocessing +
+feature extraction.
+
+Re-design of the reference align utils (reference: tools/align_utils.py):
+preprocessing runs as jitted jnp on device (bicubic resize + channel
+normalization) instead of torchvision transforms; `get_feature` keeps the
+per-family token slicing (strip cls for mocov3, patch tokens for dinov2,
+align_utils.py:43-50).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .loaders import load_encoders
+
+__all__ = ["initialize_encoders", "preprocess_raw_image", "get_feature"]
+
+IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
+IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
+CLIP_MEAN = np.array([0.48145466, 0.4578275, 0.40821073], np.float32)
+CLIP_STD = np.array([0.26862954, 0.26130258, 0.27577711], np.float32)
+
+
+def initialize_encoders(enc_type: str, image_size: int, dtype=jnp.float32):
+    """Teacher at pixel resolution image_size*8 — i.e. the pre-VAE pixel
+    resolution when training in latent space
+    (reference: tools/align_utils.py:12-16)."""
+    encoder_fns, _, families = load_encoders(
+        enc_type, image_size * 8, dtype=dtype
+    )
+    return encoder_fns[0], families[0]
+
+
+def preprocess_raw_image(x: jnp.ndarray, enc_type: str) -> jnp.ndarray:
+    """uint8-range NHWC pixels [0,255] -> normalized teacher input
+    (reference: tools/align_utils.py:19-40)."""
+    resolution = x.shape[1]
+    x = x / 255.0
+    if "clip" in enc_type:
+        target = 224 * max(resolution // 256, 1)
+        x = jax.image.resize(
+            x, (x.shape[0], target, target, 3), method="bicubic"
+        )
+        x = (x - CLIP_MEAN) / CLIP_STD
+    elif "mocov3" in enc_type or "mae" in enc_type or "dinov1" in enc_type:
+        x = (x - IMAGENET_MEAN) / IMAGENET_STD
+    elif "dinov2" in enc_type or "jepa" in enc_type:
+        x = (x - IMAGENET_MEAN) / IMAGENET_STD
+        target = 224 * max(resolution // 256, 1)
+        x = jax.image.resize(
+            x, (x.shape[0], target, target, 3), method="bicubic"
+        )
+    return x
+
+
+def get_feature(enc_type: str, pixels: jnp.ndarray,
+                encoder_fn: Callable) -> jnp.ndarray:
+    """Frozen-teacher features for the REPA loss
+    (reference: tools/align_utils.py:43-50). Output: [N, T, D] patch tokens.
+    """
+    x = preprocess_raw_image(pixels, enc_type)
+    feats = encoder_fn(x)
+    feats = jax.lax.stop_gradient(feats)
+    if "mocov3" in enc_type or "dinov2" in enc_type or "mae" in enc_type \
+            or "dinov1" in enc_type or "clip" in enc_type:
+        # Strip the cls token; dinov2's x_norm_patchtokens is exactly the
+        # post-norm patch tokens (align_utils.py:47-49).
+        feats = feats[:, 1:]
+    return feats

@@ -82,7 +82,8 @@ class Trainer:
     following the (x, t, y) contract; `mesh` a ('data','model') Mesh.
     """
 
-    def __init__(self, cfg, model, process, mesh, base_rng=None):
+    def __init__(self, cfg, model, process, mesh, base_rng=None,
+                 encoder_fn=None):
         self.cfg = cfg
         self.model = model
         self.process = process
@@ -91,6 +92,10 @@ class Trainer:
         self.base_rng = (
             base_rng if base_rng is not None else jax.random.key(cfg.seed)
         )
+        # Frozen REPA teacher closure (pixels -> token features); compiled
+        # into the train step with stop_gradient (the reference runs the
+        # teacher per micro-batch outside autocast, tools/trainer.py:82-90).
+        self.encoder_fn = encoder_fn
         self._jitted = None
 
     # ------------------------------------------------------------- #
@@ -155,6 +160,16 @@ class Trainer:
         x = batch["image"].astype(jnp.float32)
         y = batch.get("label")
         features = batch.get("features")
+        if features is None and cfg.learn_align and self.encoder_fn is not None:
+            # Teacher features from stored pixels (Latent_Pixel) or from the
+            # images themselves rescaled to [0, 255]
+            # (reference: tools/trainer.py:82-90).
+            from ..encoders.align import get_feature
+
+            pixels = batch.get("pixels")
+            if pixels is None:
+                pixels = (x + 1.0) * 127.5
+            features = get_feature(cfg.enc_type, pixels, self.encoder_fn)
 
         rngs = {
             "t": jax.random.fold_in(rng, 0),
