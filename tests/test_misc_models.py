@@ -1,0 +1,90 @@
+"""MM-DiT, SuperResModel, kvlogger, profiling tests."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vaw_tpu.models.mmdit import MMDiT
+from vaw_tpu.models.unet import SuperResModel, UNetModel
+from vaw_tpu.utils import kvlogger
+from vaw_tpu.utils.profiling import compiled_flops, estimate_train_flops
+
+
+def test_mmdit_forward():
+    model = MMDiT(image_size=8, patch_size=2, in_channels=4, hidden_size=64,
+                  depth=2, num_heads=2, num_classes=10,
+                  class_dropout_prob=0.1)
+    x = jnp.ones((2, 8, 8, 4))
+    t = jnp.array([0.0, 500.0])
+    y = jnp.array([1, 2])
+    rngs = {"params": jax.random.key(0), "label_dropout": jax.random.key(1)}
+    variables = model.init(rngs, x, t, y)
+    out = model.apply(variables, x, t, y)
+    assert out.shape == (2, 8, 8, 4)
+    # zero-init head -> exact zero output at init
+    np.testing.assert_allclose(np.asarray(out), 0.0)
+
+
+def test_mmdit_learn_sigma():
+    model = MMDiT(image_size=8, patch_size=2, in_channels=3, hidden_size=64,
+                  depth=1, num_heads=2, num_classes=0, learn_sigma=True)
+    x = jnp.ones((1, 8, 8, 3))
+    t = jnp.array([1.0])
+    variables = model.init({"params": jax.random.key(0)}, x, t)
+    out = model.apply(variables, x, t)
+    assert out.shape == (1, 8, 8, 6)
+
+
+def test_superres_model():
+    unet = UNetModel(
+        image_size=16, in_channels=6, model_channels=16, out_channels=3,
+        num_res_blocks=1, attention_resolutions=(4,), channel_mult=(1, 2),
+        num_classes=0,
+    )
+    model = SuperResModel(unet=unet)
+    x = jnp.ones((2, 16, 16, 3))
+    low = jnp.ones((2, 8, 8, 3))
+    t = jnp.array([0, 10])
+    variables = model.init({"params": jax.random.key(0)}, x, t, low_res=low)
+    out = model.apply(variables, x, t, low_res=low)
+    assert out.shape == (2, 16, 16, 3)
+
+
+def test_kvlogger_formats(tmp_path):
+    logger = kvlogger.configure(str(tmp_path), formats=("csv", "json"))
+    kvlogger.logkv("step", 1)
+    kvlogger.logkv_mean("loss", 2.0)
+    kvlogger.logkv_mean("loss", 4.0)
+    out = kvlogger.dumpkvs()
+    assert out["loss"] == pytest.approx(3.0)
+    kvlogger.logkv("step", 2)
+    kvlogger.logkv("loss", 1.0)
+    kvlogger.logkv("new_key", 7)  # header extension
+    kvlogger.dumpkvs()
+    csv_text = open(tmp_path / "progress.csv").read()
+    assert "new_key" in csv_text.splitlines()[0]
+    assert len(csv_text.splitlines()) == 3
+    json_lines = open(tmp_path / "progress.json").read().splitlines()
+    assert len(json_lines) == 2
+    logger.close()
+
+
+def test_profile_kv(tmp_path):
+    kvlogger.configure(str(tmp_path), formats=("json",))
+    with kvlogger.profile_kv("data"):
+        pass
+    out = kvlogger.dumpkvs()
+    assert "wait_data" in out
+
+
+def test_flop_accounting():
+    def f(a, b):
+        return a @ b
+
+    flops = compiled_flops(f, jnp.ones((64, 64)), jnp.ones((64, 64)))
+    if flops is not None:
+        assert flops == pytest.approx(2 * 64 ** 3, rel=0.1)
+    assert estimate_train_flops(1e6, 256) == pytest.approx(6e6 * 256)

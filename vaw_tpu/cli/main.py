@@ -243,6 +243,12 @@ def train(cfg, ctx):
         _rebatched(ctx["train_loader"], micro), mesh
     )
 
+    from ..utils import kvlogger
+
+    kvlogger.configure(cfg.logdir, formats=("csv", "json"))
+    last_dump_t = None
+    last_dump_step = start_step
+
     with trange(start_step, cfg.total_steps, initial=start_step,
                 total=cfg.total_steps, dynamic_ncols=True) as pbar:
         for step in range(start_step + 1, cfg.total_steps + 1):
@@ -250,9 +256,24 @@ def train(cfg, ctx):
             state, metrics = trainer.step(state, batch)
             ctx["state"] = state
             if step % 50 == 0 or step == cfg.total_steps:
-                pbar.set_postfix(
-                    mse=f"{float(metrics.get('mse', metrics['loss'])):.4f}"
-                )
+                # float() materializes the loss, closing the async step
+                # chain — honest inter-dump timing (see bench.py).
+                mse = float(metrics.get("mse", metrics["loss"]))
+                pbar.set_postfix(mse=f"{mse:.4f}")
+                kvlogger.logkv("step", step)
+                kvlogger.logkv("loss", float(metrics["loss"]))
+                kvlogger.logkv("mse", mse)
+                kvlogger.logkv("grad_norm", float(metrics["grad_norm"]))
+                if "align" in metrics:
+                    kvlogger.logkv("align", float(metrics["align"]))
+                now = time.perf_counter()
+                if last_dump_t is not None:
+                    rate = (step - last_dump_step) * micro / (now - last_dump_t)
+                    kvlogger.logkv(
+                        "imgs_per_sec_chip", rate / len(jax.devices())
+                    )
+                last_dump_t, last_dump_step = now, step
+                kvlogger.dumpkvs()
             pbar.update(1)
 
             if cfg.sample_freq > 0 and step % cfg.sample_freq == 0:

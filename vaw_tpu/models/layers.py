@@ -87,8 +87,11 @@ class GroupNorm32(nn.Module):
     @nn.compact
     def __call__(self, x):
         orig_dtype = x.dtype
+        groups = min(self.num_groups, x.shape[-1])
+        while x.shape[-1] % groups:
+            groups -= 1
         out = nn.GroupNorm(
-            num_groups=min(self.num_groups, x.shape[-1]),
+            num_groups=groups,
             epsilon=1e-5, dtype=jnp.float32, param_dtype=jnp.float32,
         )(x.astype(jnp.float32))
         return out.astype(orig_dtype)
