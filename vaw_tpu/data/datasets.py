@@ -120,11 +120,18 @@ class Cifar10Dataset:
         return len(self.images)
 
     def get_batch(self, idx: np.ndarray) -> Dict[str, np.ndarray]:
-        imgs = self.images[idx]
-        if self.flip:
-            do = np.random.rand(len(idx)) < 0.5
-            imgs = np.where(do[:, None, None, None], imgs[:, :, ::-1], imgs)
-        return {"image": _normalize(imgs), "label": self.labels[idx]}
+        # Single fused native pass: gather + mirror + uint8->f32 normalize
+        # (vaw_tpu.runtime.batch_ops); numpy fallback inside.
+        from ..runtime import gather_normalize
+
+        flips = (
+            (np.random.rand(len(idx)) < 0.5).astype(np.uint8)
+            if self.flip else None
+        )
+        return {
+            "image": gather_normalize(self.images, idx, flips),
+            "label": self.labels[idx],
+        }
 
 
 class GaussianDataset:
