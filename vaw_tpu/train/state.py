@@ -22,6 +22,11 @@ class TrainState(struct.PyTreeNode):
     params: Any
     ema_params: Any
     opt_state: Any
+    # Optional loss-aware timestep-resampler history (core.weighting
+    # .ResamplerState); None for uniform sampling. Lives in the state so it
+    # replicates for free under SPMD (the reference all_gathers per-rank
+    # numpy history instead, tools/resample.py:84-106).
+    resampler: Any = None
 
 
 def ema_update(params, ema_params, decay: float):

@@ -96,6 +96,18 @@ class Trainer:
         # into the train step with stop_gradient (the reference runs the
         # teacher per micro-batch outside autocast, tools/trainer.py:82-90).
         self.encoder_fn = encoder_fn
+        # Optional loss-aware timestep importance sampler (the reference
+        # defines but never wires these, tools/resample.py — first-class
+        # here via cfg.time_sampler = "loss-second-moment").
+        self.resampler = None
+        sampler_name = getattr(cfg, "time_sampler", "uniform")
+        if (sampler_name == "loss-second-moment"
+                and isinstance(process, GaussianDiffusion)):
+            from ..core.weighting import LossSecondMomentResampler
+
+            self.resampler = LossSecondMomentResampler(
+                process.num_timesteps
+            )
         self._jitted = None
 
     # ------------------------------------------------------------- #
@@ -123,6 +135,9 @@ class Trainer:
             params=params,
             ema_params=ema,
             opt_state=self.tx.init(params),
+            resampler=(
+                self.resampler.init_state() if self.resampler else None
+            ),
         )
         return self.shard_state(state)
 
@@ -149,13 +164,15 @@ class Trainer:
         return TrainState(
             step=jax.device_put(state.step, rep), params=params,
             ema_params=ema, opt_state=opt_state,
+            resampler=state.resampler,
         )
 
     # ------------------------------------------------------------- #
     # loss
     # ------------------------------------------------------------- #
 
-    def _loss_fn(self, params, batch, rng) -> Tuple[jnp.ndarray, Dict]:
+    def _loss_fn(self, params, batch, rng, resampler_state=None
+                 ) -> Tuple[jnp.ndarray, Dict]:
         cfg = self.cfg
         x = batch["image"].astype(jnp.float32)
         y = batch.get("label")
@@ -194,14 +211,28 @@ class Trainer:
             )
             return out
 
-        t = self.process.sample_t(rngs["t"], x.shape[0])
+        if self.resampler is not None and resampler_state is not None:
+            # Importance-sampled timesteps with unbiasing weights
+            # (reference: tools/resample.py:44-59).
+            t, importance_w = self.resampler.sample(
+                rngs["t"], resampler_state, x.shape[0]
+            )
+        else:
+            t = self.process.sample_t(rngs["t"], x.shape[0])
+            importance_w = None
         noise = jax.random.normal(rngs["noise"], x.shape, jnp.float32)
         model_kwargs = {"y": y} if (cfg.class_cond and y is not None) else {}
         terms = self.process.training_losses(
             model_fn, x, t, noise, features=features, model_kwargs=model_kwargs
         )
-        loss = jnp.mean(terms["loss"])
+        per_sample = terms["loss"]
+        if importance_w is not None:
+            loss = jnp.mean(importance_w * per_sample)
+        else:
+            loss = jnp.mean(per_sample)
         metrics = {k: jnp.mean(v) for k, v in terms.items()}
+        metrics["_t"] = t
+        metrics["_per_sample_loss"] = per_sample
         return loss, metrics
 
     # ------------------------------------------------------------- #
@@ -214,7 +245,9 @@ class Trainer:
         grad_fn = jax.value_and_grad(self._loss_fn, has_aux=True)
 
         if accum == 1:
-            (loss, metrics), grads = grad_fn(state.params, batch, rng)
+            (loss, metrics), grads = grad_fn(
+                state.params, batch, rng, state.resampler
+            )
         else:
             # Micro-batch scan (replaces DDP no_sync accumulation,
             # reference tools/trainer.py:94-103). Leading axis: [accum, B/accum].
@@ -226,7 +259,8 @@ class Trainer:
             def body(carry, inp):
                 i, mb = inp
                 (loss, metrics), grads = grad_fn(
-                    state.params, mb, jax.random.fold_in(rng, i)
+                    state.params, mb, jax.random.fold_in(rng, i),
+                    state.resampler,
                 )
                 acc_grads, acc_loss, acc_metrics = carry
                 acc_grads = jax.tree_util.tree_map(jnp.add, acc_grads, grads)
@@ -243,6 +277,7 @@ class Trainer:
                 state.params,
                 jax.tree_util.tree_map(lambda x: x[0], micro),
                 jax.random.fold_in(rng, 0),
+                state.resampler,
             )
             rest = jax.tree_util.tree_map(lambda x: x[1:], micro)
             (grads, loss, metrics), _ = jax.lax.scan(
@@ -254,6 +289,20 @@ class Trainer:
             loss = loss * inv
             metrics = jax.tree_util.tree_map(lambda m: m * inv, metrics)
 
+        # Fold this batch's per-timestep losses into the resampler history
+        # (replaces update_with_local_losses + all_gather,
+        # reference tools/resample.py:71-112 — SPMD computes identical
+        # updates on every chip). With grad accumulation the aux arrays were
+        # summed across micro-batches, so the update uses accum == 1 only.
+        ts_aux = metrics.pop("_t", None)
+        loss_aux = metrics.pop("_per_sample_loss", None)
+        new_resampler = state.resampler
+        if (self.resampler is not None and state.resampler is not None
+                and accum == 1):
+            new_resampler = self.resampler.update(
+                state.resampler, ts_aux, loss_aux
+            )
+
         updates, new_opt_state = self.tx.update(
             grads, state.opt_state, state.params
         )
@@ -263,7 +312,7 @@ class Trainer:
         metrics["grad_norm"] = optax.global_norm(grads)
         new_state = TrainState(
             step=state.step + 1, params=new_params, ema_params=new_ema,
-            opt_state=new_opt_state,
+            opt_state=new_opt_state, resampler=new_resampler,
         )
         return new_state, metrics
 

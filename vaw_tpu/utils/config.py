@@ -65,6 +65,10 @@ class TrainConfig:
     time_dist: Tuple = ("uniform", -0.8, 0.8)
     diffusion_steps: int = 1000
 
+    # timestep importance sampling (reference defines but never wires
+    # tools/resample.py; first-class here)
+    time_sampler: str = "uniform"  # uniform | loss-second-moment
+
     # loss
     mean_type: str = "EPSILON"
     var_type: str = "FIXED_LARGE"
@@ -188,6 +192,8 @@ def _add_common_args(p: argparse.ArgumentParser, defaults: dict):
                    choices=["sde", "ode"])
     p.add_argument("--time_dist", nargs="+", default=list(d.time_dist))
     p.add_argument("--diffusion_steps", type=int, default=d.diffusion_steps)
+    p.add_argument("--time_sampler", type=str, default=d.time_sampler,
+                   choices=["uniform", "loss-second-moment"])
     p.add_argument("--mean_type", type=str, default=d.mean_type,
                    choices=["PREVIOUS_X", "START_X", "EPSILON", "VELOCITY",
                             "VECTOR", "SCORE"])
