@@ -209,12 +209,18 @@ class FlowMatching:
         return 2 * sigma_t * d_sigma_t
 
     def ode_sample(self, model_fn, noise, num_steps=50, solver="heun",
-                   model_kwargs=None):
-        """Probability-flow ODE from t=1 to t=0, fixed-step Euler/Heun scan
-        (the reference delegates to torchdiffeq odeint,
-        gaussian_diffusion.py:1354-1363; fixed-step Heun is the TPU-friendly
-        equivalent with static shapes)."""
+                   model_kwargs=None, rtol=1e-3, atol=1e-6):
+        """Probability-flow ODE from t=1 to t=0.
+
+        Fixed-step Euler/Heun run as a `lax.scan` (the reference delegates to
+        torchdiffeq odeint, gaussian_diffusion.py:1354-1363); 'dopri5' runs
+        an adaptive Dormand-Prince RK45 under `lax.while_loop` with explicit
+        rtol/atol — the reference's ode_sample reads undefined
+        self.rtol/self.atol (gaussian_diffusion.py:1362), fixed here by
+        taking them as arguments."""
         model_kwargs = model_kwargs or {}
+        if solver == "dopri5":
+            return self._dopri5(model_fn, noise, model_kwargs, rtol, atol)
         ts = jnp.linspace(1.0, 0.0, num_steps)
 
         def body(x, tt):
@@ -228,6 +234,72 @@ class FlowMatching:
             return x + 0.5 * h * (d_cur + d_next), None
 
         x, _ = jax.lax.scan(body, noise, (ts[:-1], ts[1:]))
+        return x
+
+    def _dopri5(self, model_fn, noise, model_kwargs, rtol, atol,
+                max_steps: int = 512):
+        """Adaptive Dormand-Prince 5(4) with FSAL, integrating t: 1 -> 0.
+        Static-shape TPU formulation: a bounded `lax.while_loop` whose body
+        either accepts a step (PI-controlled growth) or retries with a
+        smaller h; all shapes fixed."""
+        # Butcher tableau (Dormand-Prince).
+        c = jnp.array([0.0, 1 / 5, 3 / 10, 4 / 5, 8 / 9, 1.0, 1.0])
+        a = [
+            [],
+            [1 / 5],
+            [3 / 40, 9 / 40],
+            [44 / 45, -56 / 15, 32 / 9],
+            [19372 / 6561, -25360 / 2187, 64448 / 6561, -212 / 729],
+            [9017 / 3168, -355 / 33, 46732 / 5247, 49 / 176, -5103 / 18656],
+            [35 / 384, 0.0, 500 / 1113, 125 / 192, -2187 / 6784, 11 / 84],
+        ]
+        b5 = jnp.array([35 / 384, 0.0, 500 / 1113, 125 / 192, -2187 / 6784,
+                        11 / 84, 0.0])
+        b4 = jnp.array([5179 / 57600, 0.0, 7571 / 16695, 393 / 640,
+                        -92097 / 339200, 187 / 2100, 1 / 40])
+
+        def f(x, t):
+            return self._drift(model_fn, x, t, model_kwargs)
+
+        def cond(carry):
+            x, t, h, k1, step = carry
+            return (t > 1e-6) & (step < max_steps)
+
+        def body(carry):
+            x, t, h, k1, step = carry
+            h = jnp.maximum(h, 1e-5)  # floor to bound iteration count
+            h = jnp.minimum(h, t)     # don't overshoot t=0
+            dt = -h  # integrating backward in time (t: 1 -> 0)
+            ks = [k1]
+            for i in range(1, 7):
+                xi = x
+                for j, aij in enumerate(a[i]):
+                    xi = xi + dt * aij * ks[j]
+                ks.append(f(xi, t + dt * c[i]))
+            x5 = x
+            x4 = x
+            for i in range(7):
+                x5 = x5 + dt * b5[i] * ks[i]
+                x4 = x4 + dt * b4[i] * ks[i]
+            err = x5 - x4
+            scale = atol + rtol * jnp.maximum(jnp.abs(x), jnp.abs(x5))
+            err_norm = jnp.sqrt(jnp.mean((err / scale) ** 2))
+            accept = err_norm <= 1.0
+            factor = jnp.clip(
+                0.9 * (1.0 / jnp.maximum(err_norm, 1e-10)) ** 0.2, 0.2, 5.0
+            )
+            new_h = h * factor
+            new_x = jnp.where(accept, x5, x)
+            new_t = jnp.where(accept, t - h, t)
+            # FSAL: k7 is the derivative at the accepted point.
+            new_k1 = jnp.where(accept, ks[6], k1)
+            return (new_x, new_t, new_h, new_k1, step + 1)
+
+        t0 = jnp.asarray(1.0)
+        k1 = f(noise, t0)
+        x, t, h, _, steps = jax.lax.while_loop(
+            cond, body, (noise, t0, jnp.asarray(0.05), k1, jnp.asarray(0))
+        )
         return x
 
     def sde_sample(self, model_fn, rng, noise, num_steps=50, solver="heun",
@@ -281,11 +353,12 @@ class FlowMatching:
         return x + d_cur * (t_next - t_cur)
 
     def sample(self, model_fn, rng, noise, num_steps=50, solver="heun",
-               model_kwargs=None):
+               model_kwargs=None, rtol=1e-3, atol=1e-6):
         """Dispatch on sampler_type
         (reference: tools/gaussian_diffusion.py:1412-1419)."""
         if self.sampler_type == "ode":
-            return self.ode_sample(model_fn, noise, num_steps, solver, model_kwargs)
+            return self.ode_sample(model_fn, noise, num_steps, solver,
+                                   model_kwargs, rtol=rtol, atol=atol)
         if self.sampler_type == "sde":
             return self.sde_sample(model_fn, rng, noise, num_steps, solver,
                                    model_kwargs)

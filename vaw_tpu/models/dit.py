@@ -144,6 +144,20 @@ class DiT(nn.Module):
         x = self._unpatchify(x, out_channels)
         return x.astype(jnp.float32), zs
 
+    def forward_with_cfg(self, x, t, y, cfg_scale: float = 1.0):
+        """Batched-uncond CFG forward with the reference's 3-channel guidance
+        quirk (reference: models/dit.py:282-298): guidance applies to the
+        first 3 channels only, the rest pass through. Expects the combined
+        [cond-half; cond-half] batch layout of the reference."""
+        half = x[: x.shape[0] // 2]
+        combined = jnp.concatenate([half, half], axis=0)
+        model_out, _ = self(combined, t, y)
+        eps, rest = model_out[..., :3], model_out[..., 3:]
+        cond_eps, uncond_eps = jnp.split(eps, 2, axis=0)
+        half_eps = uncond_eps + cfg_scale * (cond_eps - uncond_eps)
+        eps = jnp.concatenate([half_eps, half_eps], axis=0)
+        return jnp.concatenate([eps, rest], axis=-1)
+
     def _unpatchify(self, x, out_channels):
         """[N, T, p*p*C] -> [N, H, W, C] (reference: models/dit.py:243-256,
         producing NHWC directly instead of transposing to NCHW)."""

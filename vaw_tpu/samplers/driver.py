@@ -112,6 +112,7 @@ class Sampler:
             jax.random.fold_in(rng, 1), noise,
             num_steps=self.cfg.sample_steps, solver=self.cfg.solver,
             model_kwargs=model_kwargs,
+            rtol=self.cfg.rtol, atol=self.cfg.atol,
         )
         return self._decode(samples)
 
