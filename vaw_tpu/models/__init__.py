@@ -5,7 +5,10 @@ from .unet import (
     EncoderUNetModel, UNet_32, UNet_64, UNetModel, UNet_models,
     create_unet_model,
 )
+from .mmdit import MMDiT
+from .unet import SuperResModel
 from .uvit import UViT, UViT_H, UViT_L, UViT_M, UViT_S, UViT_S_D, UViT_models
+from .vae import AutoencoderKL
 from .vit import ViT, ViT_B, ViT_L, ViT_S, ViT_XL, ViT_models
 
 __all__ = [
@@ -16,4 +19,5 @@ __all__ = [
     "UViT", "UViT_S", "UViT_S_D", "UViT_M", "UViT_L", "UViT_H", "UViT_models",
     "ViT", "ViT_S", "ViT_B", "ViT_L", "ViT_XL", "ViT_models",
     "MODEL_VARIANTS", "build_model",
+    "MMDiT", "SuperResModel", "AutoencoderKL",
 ]
