@@ -1,0 +1,25 @@
+import time, jax, jax.numpy as jnp, numpy as np
+from vaw_tpu.core import GaussianDiffusion, ModelMeanType, get_named_beta_schedule, make_schedule
+from vaw_tpu.models.dit import DiT_B
+from vaw_tpu.parallel import make_mesh, shard_batch
+from vaw_tpu.train import Trainer
+from vaw_tpu.utils.config import TrainConfig
+
+sched = make_schedule(get_named_beta_schedule('cosine', 1000))
+proc = GaussianDiffusion(schedule=sched, model_mean_type=ModelMeanType.EPSILON, weight_type='lambda')
+mesh = make_mesh()
+model = DiT_B(image_size=32, patch_size=2, in_channels=4, class_dropout_prob=0.1, num_classes=1000, learn_sigma=False, dtype=jnp.bfloat16)
+rs = np.random.RandomState(0)
+for batch in (128, 256):
+    cfg = TrainConfig(model='DiT-B', image_size=32, in_chans=4, patch_size=2, num_classes=1000, class_cond=True, batch_size=batch, weight_type='lambda', path_type='cosine', drop_label_prob=0.1, amp=True, lr=1e-4, betas=(0.9,0.95))
+    tr = Trainer(cfg, model, proc, mesh)
+    hb = {'image': rs.randn(batch,32,32,4).astype(np.float32), 'label': rs.randint(0,1000,(batch,)).astype(np.int32)}
+    state = tr.init_state(jax.random.key(0), hb)
+    db = shard_batch(mesh, hb)
+    for _ in range(3): state, m = tr.step(state, db)
+    float(m['loss'])
+    n=20; t0=time.perf_counter()
+    for _ in range(n): state, m = tr.step(state, db)
+    float(m['loss']); dt=(time.perf_counter()-t0)/n
+    print(f"batch {batch}: {dt*1000:.1f} ms/step -> {batch/dt:.0f} img/s")
+    del state, tr
