@@ -25,6 +25,9 @@ A100_BASELINE_IMGS_PER_SEC = 1000.0
 
 
 def main():
+    from vaw_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     import jax
     import jax.numpy as jnp
     import numpy as np

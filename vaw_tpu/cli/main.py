@@ -12,10 +12,7 @@ from __future__ import annotations
 import argparse
 import os
 import time
-from typing import Optional
-
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from ..core import (
@@ -31,7 +28,7 @@ from ..core import (
 )
 from ..data import load_dataset, prefetch_to_device
 from ..models import build_model
-from ..parallel import make_mesh, shard_batch
+from ..parallel import make_mesh
 from ..samplers import Sampler
 from ..train import Trainer, load_checkpoint, save_checkpoint
 from ..utils import (
@@ -302,6 +299,9 @@ def _rebatched(loader, batch_size):
 
 
 def main(argv=None):
+    from ..utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     cfg = parse_args(argv)
     ctx = init(cfg)
     if cfg.train:

@@ -25,6 +25,9 @@ def parse_args(argv=None):
 
 
 def main(argv=None):
+    from ..utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     cfg = parse_args(argv)
     assert cfg.resume, "--resume checkpoint path is required"
     mesh = make_mesh(data_axis=cfg.data_axis, model_axis=cfg.model_axis)

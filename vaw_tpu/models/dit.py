@@ -102,6 +102,10 @@ class DiT(nn.Module):
     encoder_depth: int = 8
     z_dims: int = 768
     projector_dim: int = 2048
+    # Rematerialize block activations in the backward pass (replaces the
+    # reference's CheckpointFunction, tools/nn.py:124-170) — trades ~33%
+    # extra FLOPs for O(depth) -> O(1) activation memory.
+    use_checkpoint: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -124,10 +128,13 @@ class DiT(nn.Module):
                 self.num_classes, self.hidden_size, self.class_dropout_prob
             )(y, train=train, force_drop_ids=force_drop_ids).astype(self.dtype)
 
+        block_cls = (
+            nn.remat(DiTBlock) if self.use_checkpoint else DiTBlock
+        )
         zs = None
         for i in range(self.depth):
-            x = DiTBlock(self.hidden_size, self.num_heads, self.mlp_ratio,
-                         dtype=self.dtype)(x, c)
+            x = block_cls(self.hidden_size, self.num_heads, self.mlp_ratio,
+                          dtype=self.dtype)(x, c)
             if self.learn_align and (i + 1) == self.encoder_depth:
                 # REPA projector tap (reference: models/dit.py:27-34, 272-275).
                 h = nn.Dense(self.projector_dim, dtype=self.dtype,

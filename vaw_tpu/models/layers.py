@@ -9,7 +9,7 @@ models/dit.py:41-110 (Timestep/Label embedders), :307-354 (2D sin-cos grid).
 from __future__ import annotations
 
 import math
-from typing import Callable, Optional, Sequence
+from typing import Callable, Optional
 
 import flax.linen as nn
 import jax

@@ -255,6 +255,21 @@ class ViT(nn.Module):
         return imgs
 
 
+def vit_forward_with_cfg(model, variables, x, timesteps, y,
+                         classifier_free_scale: float = 1.0):
+    """Batched-uncond CFG forward (reference: models/vit.py:494-522):
+    duplicate the conditional half, run once, blend, and return the
+    duplicated guided batch."""
+    import jax.numpy as jnp
+
+    half = x[: x.shape[0] // 2]
+    combined = jnp.concatenate([half, half], axis=0)
+    imgs = model.apply(variables, combined, timesteps, y)
+    cond, uncond = jnp.split(imgs, 2, axis=0)
+    guided = uncond + classifier_free_scale * (cond - uncond)
+    return jnp.concatenate([guided, guided], axis=0)
+
+
 def _make_vit(embed_dim, depth, num_heads):
     def ctor(image_size, patch_size, num_classes, in_channels, learn_sigma,
              drop_rate=0.0, drop_label_prob=0.0, **kwargs):

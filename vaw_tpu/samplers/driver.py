@@ -12,14 +12,12 @@ consistent, and host collection is a device_get of the sharded output.
 from __future__ import annotations
 
 import functools
-from typing import Callable, List, Optional, Tuple
+from typing import List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..core.diffusion import GaussianDiffusion
-from ..core.flow import FlowMatching
 from .edm import ablation_sampler, build_edm_plan
 from .guidance import IntervalCFG, cfg_scale_for_time, classifier_cond_fn
 

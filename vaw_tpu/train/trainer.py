@@ -12,17 +12,15 @@ replicated EMA fold in the state.
 
 from __future__ import annotations
 
-import functools
 import math
-from typing import Any, Callable, Dict, Optional, Tuple
+from typing import Callable, Dict, Tuple
 
 import jax
 import jax.numpy as jnp
 import optax
 
 from ..core.diffusion import GaussianDiffusion
-from ..core.flow import FlowMatching
-from ..parallel.mesh import batch_sharding, replicated_sharding
+from ..parallel.mesh import replicated_sharding
 from ..parallel.partition import param_shardings
 from .state import TrainState, ema_update
 
