@@ -88,3 +88,27 @@ def test_flop_accounting():
     if flops is not None:
         assert flops == pytest.approx(2 * 64 ** 3, rel=0.1)
     assert estimate_train_flops(1e6, 256) == pytest.approx(6e6 * 256)
+
+
+def test_dit_remat_grad():
+    from vaw_tpu.models.dit import DiT
+
+    m = DiT(image_size=8, patch_size=2, in_channels=3, hidden_size=32,
+            depth=2, num_heads=2, num_classes=0, class_dropout_prob=0.0,
+            use_checkpoint=True)
+    x = jnp.ones((2, 8, 8, 3))
+    t = jnp.ones((2,))
+    v = m.init({"params": jax.random.key(0)}, x, t)
+
+    def loss(p):
+        out, _ = m.apply({"params": p}, x, t)
+        return jnp.sum((out - 1.0) ** 2)
+
+    g = jax.grad(loss)(v["params"])
+    total = sum(float(jnp.abs(l).sum()) for l in jax.tree_util.tree_leaves(g))
+    assert np.isfinite(total)
+    # adaLN-Zero: at init only the final head has nonzero grads.
+    final = g["FinalLayer_0"]
+    fsum = sum(float(jnp.abs(l).sum())
+               for l in jax.tree_util.tree_leaves(final))
+    assert fsum > 0
