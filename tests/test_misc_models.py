@@ -112,3 +112,19 @@ def test_dit_remat_grad():
     fsum = sum(float(jnp.abs(l).sum())
                for l in jax.tree_util.tree_leaves(final))
     assert fsum > 0
+
+
+def test_vit_shared_rel_pos_bias():
+    from vaw_tpu.models.vit import ViT
+
+    m = ViT(image_size=8, patch_size=4, in_channels=3, num_classes=5,
+            embed_dim=32, depth=1, num_heads=2,
+            use_shared_rel_pos_bias=True, drop_label_prob=0.0)
+    x = jnp.ones((2, 8, 8, 3))
+    t = jnp.zeros((2,))
+    y = jnp.array([0, 1])
+    rngs = {"params": jax.random.key(0)}
+    v = m.init(rngs, x, t, y)
+    out = m.apply(v, x, t, y)
+    assert out.shape == (2, 8, 8, 3)
+    assert np.isfinite(np.asarray(out)).all()

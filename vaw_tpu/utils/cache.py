@@ -18,6 +18,9 @@ def enable_compilation_cache(cache_dir: str | None = None) -> None:
     global _DONE
     if _DONE:
         return
+    if os.environ.get("VAW_DISABLE_JAX_CACHE"):
+        _DONE = True
+        return
     import jax
 
     cache_dir = cache_dir or os.environ.get(
