@@ -1,0 +1,268 @@
+"""GraphDef->JAX compiler tests.
+
+Small frozen graphs are built with TF1-compat ops on CPU and executed both
+by TF and by vaw_tpu.evals.tf_graph; outputs must match closely. This is
+the unit-level guarantee behind the TPU-native Inception FID backend
+(the real classify_image_graph_def.pb uses exactly these ops:
+Conv2D/BiasAdd/Relu/MaxPool/AvgPool/BatchNormWithGlobalNormalization/
+Concat/ResizeBilinear/Reshape/MatMul/Softmax).
+"""
+
+import numpy as np
+import pytest
+
+tf = pytest.importorskip("tensorflow").compat.v1
+tf.disable_eager_execution()
+
+from vaw_tpu.evals.tf_graph import GraphDefFunction  # noqa: E402
+
+
+def freeze(build_fn, feeds, fetches, feed_arrays):
+    """Build a graph, run it in TF, return (graph_def, tf_outputs)."""
+    graph = tf.Graph()
+    with graph.as_default():
+        placeholders = build_fn()
+    with tf.Session(graph=graph) as sess:
+        tf_out = sess.run(
+            fetches, dict(zip(placeholders, feed_arrays))
+        )
+    gd = graph.as_graph_def()
+    # Constants are already embedded (we only use tf.constant weights).
+    return gd, tf_out
+
+
+def run_both(build_fn, feeds, fetches, feed_arrays, atol=1e-4):
+    gd, tf_out = freeze(build_fn, feeds, fetches, feed_arrays)
+    fn = GraphDefFunction(gd, feeds=feeds, fetches=fetches)
+    jax_out = fn(*feed_arrays)
+    if not isinstance(jax_out, tuple):
+        jax_out = (jax_out,)
+        tf_out = [tf_out] if not isinstance(tf_out, list) else tf_out
+    for a, b in zip(tf_out, jax_out):
+        np.testing.assert_allclose(a, np.asarray(b), atol=atol, rtol=1e-4)
+
+
+def test_conv_bias_relu_pools():
+    rs = np.random.RandomState(0)
+    x = rs.randn(2, 16, 16, 3).astype(np.float32)
+    w = rs.randn(3, 3, 3, 8).astype(np.float32) * 0.1
+    b = rs.randn(8).astype(np.float32)
+
+    def build():
+        inp = tf.placeholder(tf.float32, [2, 16, 16, 3], name="inp")
+        y = tf.nn.conv2d(inp, tf.constant(w), strides=[1, 2, 2, 1],
+                         padding="SAME")
+        y = tf.nn.relu(tf.nn.bias_add(y, tf.constant(b)))
+        mp = tf.nn.max_pool(y, [1, 3, 3, 1], [1, 2, 2, 1], "SAME",
+                            name="mp")
+        ap = tf.nn.avg_pool(y, [1, 3, 3, 1], [1, 1, 1, 1], "VALID",
+                            name="ap")
+        return [inp]
+
+    run_both(build, ["inp:0"], ["mp:0", "ap:0"], [x])
+
+
+def test_avg_pool_same_counts_edge_windows():
+    # SAME avg-pool divides by the true (smaller) window size at edges.
+    x = np.arange(1 * 4 * 4 * 1, dtype=np.float32).reshape(1, 4, 4, 1)
+
+    def build():
+        inp = tf.placeholder(tf.float32, [1, 4, 4, 1], name="inp")
+        tf.nn.avg_pool(inp, [1, 3, 3, 1], [1, 1, 1, 1], "SAME", name="ap")
+        return [inp]
+
+    run_both(build, ["inp:0"], ["ap:0"], [x])
+
+
+def _bngn_graph_def(m, v, beta, gamma, eps, scale_after):
+    """Hand-authored GraphDef using the DEPRECATED
+    BatchNormWithGlobalNormalization op (the 2015 Inception graph is full of
+    it). Modern TF refuses to *build* it but still *executes* old graphs, so
+    the producer version is pinned below the removal version."""
+    from tensorflow.core.framework import graph_pb2, node_def_pb2
+
+    tf2 = __import__("tensorflow")
+    gd = graph_pb2.GraphDef()
+    gd.versions.producer = 8  # pre-removal GraphDef version
+
+    inp = node_def_pb2.NodeDef(name="inp", op="Placeholder")
+    inp.attr["dtype"].type = 1  # DT_FLOAT
+    gd.node.append(inp)
+
+    for name, val in [("m", m), ("v", v), ("beta", beta), ("gamma", gamma)]:
+        c = node_def_pb2.NodeDef(name=name, op="Const")
+        c.attr["dtype"].type = 1
+        c.attr["value"].tensor.CopyFrom(tf2.make_tensor_proto(val))
+        gd.node.append(c)
+
+    bn = node_def_pb2.NodeDef(
+        name="bn", op="BatchNormWithGlobalNormalization",
+        input=["inp", "m", "v", "beta", "gamma"],
+    )
+    bn.attr["T"].type = 1
+    bn.attr["variance_epsilon"].f = eps
+    bn.attr["scale_after_normalization"].b = scale_after
+    gd.node.append(bn)
+    return gd
+
+
+@pytest.mark.parametrize("scale_after", [True, False])
+def test_batch_norm_with_global_normalization(scale_after):
+    rs = np.random.RandomState(1)
+    x = rs.randn(2, 8, 8, 4).astype(np.float32)
+    m = rs.randn(4).astype(np.float32)
+    v = rs.rand(4).astype(np.float32) + 0.5
+    beta = rs.randn(4).astype(np.float32)
+    gamma = rs.randn(4).astype(np.float32)
+    gd = _bngn_graph_def(m, v, beta, gamma, 0.001, scale_after)
+
+    graph = tf.Graph()
+    with graph.as_default():
+        inp = tf.placeholder(tf.float32, [2, 8, 8, 4])
+        (out,) = tf.import_graph_def(
+            gd, input_map={"inp:0": inp}, return_elements=["bn:0"], name="g"
+        )
+    with tf.Session(graph=graph) as sess:
+        tf_out = sess.run(out, {inp: x})
+
+    fn = GraphDefFunction(gd, feeds=["inp:0"], fetches=["bn:0"])
+    np.testing.assert_allclose(tf_out, np.asarray(fn(x)), atol=1e-4,
+                               rtol=1e-4)
+
+
+def test_old_style_concat():
+    rs = np.random.RandomState(2)
+    a = rs.randn(1, 4, 4, 2).astype(np.float32)
+    b = rs.randn(1, 4, 4, 3).astype(np.float32)
+
+    def build():
+        pa = tf.placeholder(tf.float32, [1, 4, 4, 2], name="a")
+        pb = tf.placeholder(tf.float32, [1, 4, 4, 3], name="b")
+        tf.raw_ops.Concat(concat_dim=tf.constant(3), values=[pa, pb],
+                          name="cat")
+        return [pa, pb]
+
+    run_both(build, ["a:0", "b:0"], ["cat:0"], [a, b])
+
+
+@pytest.mark.parametrize("align_corners", [False, True])
+@pytest.mark.parametrize("out_hw", [(7, 5), (16, 16), (3, 9)])
+def test_resize_bilinear_legacy_semantics(align_corners, out_hw):
+    # The 2015 Inception graph resizes with align_corners=False under
+    # LEGACY sampling (no half-pixel offset) — jax.image.resize does not
+    # match this; tf_graph implements it exactly.
+    rs = np.random.RandomState(3)
+    x = rs.randn(2, 11, 13, 3).astype(np.float32)
+
+    def build():
+        inp = tf.placeholder(tf.float32, [2, 11, 13, 3], name="inp")
+        tf.image.resize_bilinear(inp, out_hw, align_corners=align_corners,
+                                 name="rs")
+        return [inp]
+
+    run_both(build, ["inp:0"], ["rs:0"], [x], atol=1e-4)
+
+
+def test_matmul_softmax_reshape():
+    rs = np.random.RandomState(4)
+    x = rs.randn(3, 1, 1, 16).astype(np.float32)
+    w = rs.randn(16, 10).astype(np.float32)
+
+    def build():
+        inp = tf.placeholder(tf.float32, [3, 1, 1, 16], name="inp")
+        flat = tf.reshape(inp, [3, 16], name="flat")
+        logits = tf.matmul(flat, tf.constant(w), name="mm")
+        tf.nn.softmax(logits, name="sm")
+        return [inp]
+
+    run_both(build, ["inp:0"], ["sm:0"], [x])
+
+
+def _build_mini_inception_pb(tmp_path):
+    """A miniature graph with the REAL Inception node names/topology:
+    ExpandDims -> Cast/resize/normalize -> conv stack -> mixed_6/conv
+    -> pool_3 -> softmax/logits/MatMul -> softmax. Shapes are tiny."""
+    rs = np.random.RandomState(5)
+    w1 = rs.randn(3, 3, 3, 8).astype(np.float32) * 0.2
+    m = rs.randn(8).astype(np.float32) * 0.1
+    v = rs.rand(8).astype(np.float32) + 0.5
+    beta = rs.randn(8).astype(np.float32) * 0.1
+    gamma = rs.randn(8).astype(np.float32) * 0.1 + 1.0
+    w2 = rs.randn(1, 1, 8, 7).astype(np.float32) * 0.2
+    wsm = rs.randn(8, 5).astype(np.float32) * 0.2
+
+    graph = tf.Graph()
+    with graph.as_default():
+        img = tf.placeholder(tf.float32, [8, 8, 3], name="img")
+        x = tf.expand_dims(img, 0, name="ExpandDims")
+        x = tf.image.resize_bilinear(x, (12, 12), align_corners=False)
+        x = tf.subtract(x, 128.0)
+        x = tf.multiply(x, 1.0 / 128.0)
+        y = tf.nn.conv2d(x, tf.constant(w1), [1, 1, 1, 1], "SAME")
+        # batch-norm spelled with primitive ops (Rsqrt/Mul/Sub/Add), the
+        # modern-TF-buildable equivalent of BatchNormWithGlobalNormalization
+        inv = tf.math.rsqrt(tf.constant(v) + 0.001) * tf.constant(gamma)
+        y = y * inv + (tf.constant(beta) - tf.constant(m) * inv)
+        y = tf.nn.relu(y)
+        spatial = tf.nn.conv2d(y, tf.constant(w2), [1, 1, 1, 1], "SAME",
+                               name="mixed_6/conv")
+        pooled = tf.nn.avg_pool(y, [1, 12, 12, 1], [1, 1, 1, 1], "VALID",
+                                name="pool_3")
+        flat = tf.reshape(pooled, [1, 8])
+        logits = tf.matmul(flat, tf.constant(wsm),
+                           name="softmax/logits/MatMul")
+        tf.nn.softmax(logits, name="softmax")
+    pb = str(tmp_path / "mini_inception.pb")
+    with open(pb, "wb") as f:
+        f.write(graph.as_graph_def().SerializeToString())
+    return pb
+
+
+def test_jax_backend_matches_tf_backend_on_mini_graph(tmp_path, monkeypatch):
+    from vaw_tpu.evals.inception import (
+        InceptionV3Features, InceptionV3JAXFeatures,
+    )
+
+    pb = _build_mini_inception_pb(tmp_path)
+    rs = np.random.RandomState(6)
+    batch = rs.rand(5, 8, 8, 3).astype(np.float32) * 255.0
+
+    tf_backend = InceptionV3Features(pb_path=pb, batch_size=2)
+    jax_backend = InceptionV3JAXFeatures(pb_path=pb, batch_size=2,
+                                         softmax_batch_size=3)
+
+    # The TF backend feeds batched input through the unbatched graph; the
+    # mini graph is strictly batch-1, so compare per-image.
+    pools_tf, spatials_tf = [], []
+    for i in range(len(batch)):
+        p, s = tf_backend.features(batch[i: i + 1])
+        pools_tf.append(p)
+        spatials_tf.append(s)
+    pool_tf = np.concatenate(pools_tf)
+    spatial_tf = np.concatenate(spatials_tf)
+
+    pools_j, spatials_j = [], []
+    for i in range(len(batch)):
+        p, s = jax_backend.features(batch[i: i + 1])
+        pools_j.append(p)
+        spatials_j.append(s)
+    pool_j = np.concatenate(pools_j)
+    spatial_j = np.concatenate(spatials_j)
+
+    np.testing.assert_allclose(pool_tf, pool_j, atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(spatial_tf, spatial_j, atol=1e-4, rtol=1e-4)
+
+    probs_tf = tf_backend.softmax_probs(pool_tf)
+    probs_j = jax_backend.softmax_probs(pool_j)
+    np.testing.assert_allclose(probs_tf, probs_j, atol=1e-5, rtol=1e-4)
+
+
+def test_make_inception_backend_env_override(tmp_path, monkeypatch):
+    from vaw_tpu.evals.inception import (
+        InceptionV3JAXFeatures, make_inception_backend,
+    )
+
+    pb = _build_mini_inception_pb(tmp_path)
+    monkeypatch.setenv("VAW_INCEPTION_BACKEND", "jax")
+    backend = make_inception_backend("tf", pb_path=pb)
+    assert isinstance(backend, InceptionV3JAXFeatures)

@@ -18,7 +18,7 @@ from .fid import (
     compute_inception_score_from_probs,
     compute_statistics,
 )
-from .inception import InceptionV3Features
+from .inception import make_inception_backend
 from .npz_reader import open_npz_array
 
 __all__ = ["Evaluator", "main"]
@@ -26,10 +26,10 @@ __all__ = ["Evaluator", "main"]
 
 class Evaluator:
     def __init__(self, batch_size: int = 64, softmax_batch_size: int = 512,
-                 pb_path: Optional[str] = None):
+                 pb_path: Optional[str] = None, backend: str = "auto"):
         self.batch_size = batch_size
-        self.backend = InceptionV3Features(
-            pb_path=pb_path, batch_size=batch_size,
+        self.backend = make_inception_backend(
+            backend, pb_path=pb_path, batch_size=batch_size,
             softmax_batch_size=softmax_batch_size,
         )
         self.manifold_estimator = ManifoldEstimator()

@@ -17,7 +17,8 @@ from typing import Optional, Tuple
 
 import numpy as np
 
-__all__ = ["InceptionV3Features", "find_inception_pb"]
+__all__ = ["InceptionV3Features", "InceptionV3JAXFeatures",
+           "make_inception_backend", "find_inception_pb"]
 
 INCEPTION_V3_URL = (
     "https://openaipublic.blob.core.windows.net/diffusion/jul-2021/"
@@ -100,13 +101,15 @@ class InceptionV3Features:
             # (reference: evaluations/evaluator.py:600-601).
             self.spatial_features = spatial[..., :7]
 
-            self.softmax_input = tf.placeholder(tf.float32, shape=[None, 2048])
             prefix2 = f"{random.randrange(2**32)}_{random.randrange(2**32)}"
             (matmul,) = tf.import_graph_def(
                 graph_def, return_elements=["softmax/logits/MatMul"],
                 name=prefix2,
             )
             w = matmul.inputs[1]
+            self.softmax_input = tf.placeholder(
+                tf.float32, shape=[None, int(w.shape[0])]
+            )
             self.softmax = tf.nn.softmax(tf.matmul(self.softmax_input, w))
 
     @staticmethod
@@ -146,3 +149,123 @@ class InceptionV3Features:
                 {self.softmax_input: pool_features[i: i + self.softmax_batch_size]},
             ))
         return np.concatenate(out, axis=0)
+
+
+class InceptionV3JAXFeatures:
+    """TPU-native Inception backend: the frozen TF1 graph compiled to a
+    jitted JAX function (evals/tf_graph.py) — same weights, same ops, no TF
+    session in the eval hot path. Feature semantics match the reference
+    (pool_3 + mixed_6/conv[..., :7], softmax over pool @ W with no bias,
+    reference: evaluations/evaluator.py:585-620)."""
+
+    def __init__(self, pb_path: Optional[str] = None, batch_size: int = 64,
+                 softmax_batch_size: int = 512):
+        pb_path = pb_path or find_inception_pb() or _maybe_download()
+        if pb_path is None:
+            raise FileNotFoundError(
+                "InceptionV3 frozen graph not found; set VAW_INCEPTION_PB or "
+                "place classify_image_graph_def.pb in ./evaluations/"
+            )
+        import jax
+        import jax.numpy as jnp
+
+        from .tf_graph import GraphDefFunction, load_graph_def
+
+        self.batch_size = batch_size
+        self.softmax_batch_size = softmax_batch_size
+        gd = load_graph_def(pb_path)
+        fn = GraphDefFunction(
+            gd, feeds=["ExpandDims:0"],
+            fetches=[FID_POOL_NAME, FID_SPATIAL_NAME],
+        )
+        self._graph_fn = fn
+
+        def run(x):
+            pool, spatial = fn(x)
+            return (
+                pool.reshape(pool.shape[0], -1),
+                # Only the first 7 spatial channels feed sFID
+                # (reference: evaluations/evaluator.py:600-601).
+                spatial[..., :7].reshape(spatial.shape[0], -1),
+            )
+
+        self._run = jax.jit(run)
+
+        # Softmax head: W from the frozen graph's logits MatMul, no bias
+        # (reference: evaluations/evaluator.py:613-620). Resolved through
+        # Identity indirections.
+        w = self._resolve_const("softmax/logits/MatMul", input_index=1)
+        self._softmax_w = jnp.asarray(w, jnp.float32)
+        self._softmax = jax.jit(
+            lambda p: jax.nn.softmax(p @ self._softmax_w, axis=-1)
+        )
+
+    def _resolve_const(self, node_name: str, input_index: int) -> np.ndarray:
+        nodes = self._graph_fn.nodes
+        name = nodes[node_name].input[input_index].split(":")[0]
+        while nodes[name].op in ("Identity", "CheckNumerics"):
+            name = nodes[name].input[0].split(":")[0]
+        return self._graph_fn.const(name)
+
+    def features(self, batch: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+        """NHWC uint8-range floats [0,255] -> (pool[N,2048], spatial[N,...]).
+        Ragged tails are padded to `batch_size` so the TPU program compiles
+        once per (batch, H, W) shape."""
+        import jax
+
+        n = batch.shape[0]
+        pools, spatials = [], []
+        for i in range(0, n, self.batch_size):
+            chunk = np.asarray(
+                batch[i: i + self.batch_size], dtype=np.float32
+            )
+            k = chunk.shape[0]
+            if k < self.batch_size:
+                pad = np.zeros(
+                    (self.batch_size - k,) + chunk.shape[1:], np.float32
+                )
+                chunk = np.concatenate([chunk, pad], axis=0)
+            pool, spatial = self._run(chunk)
+            pool, spatial = jax.device_get((pool, spatial))
+            pools.append(pool[:k])
+            spatials.append(spatial[:k])
+        return np.concatenate(pools, axis=0), np.concatenate(spatials, axis=0)
+
+    def softmax_probs(self, pool_features: np.ndarray) -> np.ndarray:
+        import jax
+
+        out = []
+        bs = self.softmax_batch_size
+        for i in range(0, len(pool_features), bs):
+            chunk = np.asarray(pool_features[i: i + bs], np.float32)
+            k = chunk.shape[0]
+            if k < bs:
+                chunk = np.concatenate(
+                    [chunk, np.zeros((bs - k, chunk.shape[1]), np.float32)]
+                )
+            out.append(jax.device_get(self._softmax(chunk))[:k])
+        return np.concatenate(out, axis=0)
+
+
+def make_inception_backend(backend: str = "auto",
+                           pb_path: Optional[str] = None,
+                           batch_size: int = 64,
+                           softmax_batch_size: int = 512):
+    """Backend factory: 'jax' (GraphDef compiled to XLA — the TPU-native
+    path), 'tf' (reference-identical TF1 session), or 'auto' (jax with tf
+    fallback). Overridable via VAW_INCEPTION_BACKEND."""
+    backend = os.environ.get("VAW_INCEPTION_BACKEND", backend)
+    kwargs = dict(pb_path=pb_path, batch_size=batch_size,
+                  softmax_batch_size=softmax_batch_size)
+    if backend == "jax":
+        return InceptionV3JAXFeatures(**kwargs)
+    if backend == "tf":
+        return InceptionV3Features(**kwargs)
+    if backend == "auto":
+        try:
+            return InceptionV3JAXFeatures(**kwargs)
+        except FileNotFoundError:
+            raise
+        except Exception:  # noqa: BLE001 — unsupported op in custom graphs
+            return InceptionV3Features(**kwargs)
+    raise ValueError(f"unknown inception backend '{backend}'")
