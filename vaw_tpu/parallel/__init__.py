@@ -6,10 +6,13 @@ from .mesh import (
     shard_batch,
 )
 from .partition import (
+    fsdp_param_shardings,
+    fsdp_partition_specs,
     param_shardings,
     partition_specs,
     shard_params,
     transformer_partition_rules,
+    tree_shardings_like,
 )
 
 __all__ = [
@@ -17,4 +20,5 @@ __all__ = [
     "local_device_count",
     "partition_specs", "param_shardings", "shard_params",
     "transformer_partition_rules",
+    "fsdp_partition_specs", "fsdp_param_shardings", "tree_shardings_like",
 ]

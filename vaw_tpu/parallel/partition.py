@@ -13,11 +13,13 @@ import re
 from typing import Tuple
 
 import jax
+import numpy as np
 from flax import traverse_util
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 __all__ = ["transformer_partition_rules", "partition_specs",
-           "shard_params", "param_shardings"]
+           "shard_params", "param_shardings", "fsdp_partition_specs",
+           "fsdp_param_shardings", "tree_shardings_like"]
 
 # (path regex, spec) — first match wins. Column-parallel: shard output dim;
 # row-parallel: shard input dim so the following contraction reduces over
@@ -68,3 +70,93 @@ def shard_params(mesh: Mesh, params, rules=TRANSFORMER_RULES):
     """Device-put params with TP shardings (replicated where no rule hits)."""
     shardings = param_shardings(mesh, params, rules)
     return jax.tree_util.tree_map(jax.device_put, params, shardings)
+
+
+# --------------------------------------------------------------------- #
+# FSDP (ZeRO-3-style fully-sharded data parallelism)
+# --------------------------------------------------------------------- #
+
+# Below this many elements a leaf stays replicated: all-gathering tiny
+# params costs more latency than their memory is worth.
+FSDP_MIN_SIZE = 1 << 14
+
+
+def fsdp_partition_specs(params, data_axis_size: int,
+                         rules=TRANSFORMER_RULES,
+                         min_size: int = FSDP_MIN_SIZE):
+    """TP specs extended with parameter sharding over 'data' (ZeRO-3).
+
+    The reference has no equivalent — plain per-rank AdamW replicas
+    (reference: main.py:354, SURVEY.md section 2.8). On a TPU mesh, sharding
+    params/opt-state over 'data' costs one all-gather per layer in the
+    forward (riding ICI, overlapped by XLA) and turns the gradient
+    all-reduce into a reduce-scatter — memory drops by the data-axis size.
+
+    Each leaf keeps its TP spec; the largest remaining divisible axis is
+    then sharded over 'data'.
+    """
+    flat = traverse_util.flatten_dict(params, sep="/")
+    specs = {}
+    for path, leaf in flat.items():
+        shape = getattr(leaf, "shape", ())
+        base = _spec_for(path, rules)
+        spec = list(base) + [None] * (len(shape) - len(base))
+        if data_axis_size > 1 and np.prod(shape, dtype=np.int64) >= min_size:
+            order = sorted(range(len(shape)), key=lambda i: -shape[i])
+            for i in order:
+                if spec[i] is None and shape[i] % data_axis_size == 0:
+                    spec[i] = "data"
+                    break
+        specs[path] = P(*spec)
+    return traverse_util.unflatten_dict(specs, sep="/")
+
+
+def fsdp_param_shardings(mesh: Mesh, params, rules=TRANSFORMER_RULES,
+                         min_size: int = FSDP_MIN_SIZE):
+    specs = fsdp_partition_specs(params, int(mesh.shape["data"]), rules,
+                                 min_size)
+    return jax.tree_util.tree_map(
+        lambda s: NamedSharding(mesh, s), specs,
+        is_leaf=lambda x: isinstance(x, P),
+    )
+
+
+def tree_shardings_like(tree, params_treedef, p_sh, replicated):
+    """Shardings for an arbitrary state pytree (e.g. an optax opt-state):
+    any subtree whose structure matches the param tree (Adam mu/nu, EMA)
+    gets the param shardings; every other leaf replicates."""
+    p_struct = params_treedef
+
+    def walk(node):
+        try:
+            struct = jax.tree_util.tree_structure(node)
+        except Exception:  # noqa: BLE001
+            return replicated
+        if struct == p_struct:
+            return jax.tree_util.tree_unflatten(
+                p_struct, jax.tree_util.tree_leaves(p_sh)
+            )
+        children, treedef = _one_level(node)
+        if children is None:
+            return replicated
+        return jax.tree_util.tree_unflatten(
+            treedef, [walk(c) for c in children]
+        )
+
+    return walk(tree)
+
+
+def _one_level(node):
+    """Split a pytree node into its immediate children, or (None, None) for
+    leaves."""
+    treedef = jax.tree_util.tree_structure(
+        node, is_leaf=lambda x: x is not node
+    )
+    if treedef.num_leaves == 0:
+        return [], treedef
+    flat, _ = jax.tree_util.tree_flatten(
+        node, is_leaf=lambda x: x is not node
+    )
+    if len(flat) == 1 and flat[0] is node:
+        return None, None
+    return flat, treedef

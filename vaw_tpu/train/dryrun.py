@@ -7,6 +7,8 @@ xla_force_host_platform_device_count virtual CPU devices.
 
 from __future__ import annotations
 
+from dataclasses import replace
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -26,9 +28,15 @@ def dryrun_multichip(n_devices: int) -> None:
     """Build an n-device ('data','model') mesh, jit the full training step
     (q_sample -> weighting -> DiT fwd/bwd -> AdamW -> EMA) with real dp+tp
     shardings, and execute ONE step on tiny shapes."""
-    devices = jax.devices()[:n_devices]
+    devices = jax.devices()
+    if len(devices) < n_devices:
+        # Driver environments pin the default platform to the real chip(s);
+        # the virtual xla_force_host_platform_device_count devices live on
+        # the coexisting 'cpu' backend — run the dry run there.
+        devices = jax.devices("cpu")
+    devices = devices[:n_devices]
     assert len(devices) == n_devices, (
-        f"need {n_devices} devices, have {len(jax.devices())}"
+        f"need {n_devices} devices, have {len(devices)}"
     )
     # 2D mesh: tensor-parallel degree 2 when divisible, else pure data.
     model_axis = 2 if n_devices % 2 == 0 else 1
@@ -54,23 +62,32 @@ def dryrun_multichip(n_devices: int) -> None:
         weight_type=cfg.weight_type,
     )
 
-    with mesh:
-        trainer = Trainer(cfg, model, process, mesh)
-        rng = jax.random.key(0)
-        batch = {
-            "image": jnp.asarray(
-                np.random.RandomState(0).randn(
-                    cfg.batch_size, cfg.image_size, cfg.image_size, 4
-                ), jnp.float32,
-            ),
-            "label": jnp.arange(cfg.batch_size) % 10,
-        }
-        state = trainer.init_state(rng, batch)
-        batch = shard_batch(mesh, batch)
-        state, metrics = trainer.step(state, batch)
-        jax.block_until_ready(metrics["loss"])
-        loss = float(metrics["loss"])
-        assert np.isfinite(loss), loss
-        assert int(state.step) == 1
+    batch = {
+        "image": jnp.asarray(
+            np.random.RandomState(0).randn(
+                cfg.batch_size, cfg.image_size, cfg.image_size, 4
+            ), jnp.float32,
+        ),
+        "label": jnp.arange(cfg.batch_size) % 10,
+    }
+
+    losses = {}
+    # Two sharding regimes over the same mesh: dp x tp with replicated
+    # state, and dp x tp with ZeRO-3 param/opt-state sharding (fsdp).
+    for label, fsdp in (("dp+tp", False), ("dp+tp+fsdp", True)):
+        run_cfg = replace(cfg, fsdp=fsdp)
+        with mesh:
+            trainer = Trainer(run_cfg, model, process, mesh)
+            state = trainer.init_state(jax.random.key(0), batch)
+            sharded = shard_batch(mesh, batch)
+            state, metrics = trainer.step(state, sharded)
+            jax.block_until_ready(metrics["loss"])
+            loss = float(metrics["loss"])
+            assert np.isfinite(loss), (label, loss)
+            assert int(state.step) == 1
+            losses[label] = loss
+    # Both regimes compute the same math; shardings must not change it.
+    assert abs(losses["dp+tp"] - losses["dp+tp+fsdp"]) < 1e-3, losses
     print(f"dryrun_multichip({n_devices}): mesh="
-          f"{dict(zip(mesh.axis_names, mesh.devices.shape))} loss={loss:.4f} OK")
+          f"{dict(zip(mesh.axis_names, mesh.devices.shape))} "
+          f"losses={losses} OK")

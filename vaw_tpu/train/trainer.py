@@ -21,7 +21,11 @@ import optax
 
 from ..core.diffusion import GaussianDiffusion
 from ..parallel.mesh import replicated_sharding
-from ..parallel.partition import param_shardings
+from ..parallel.partition import (
+    fsdp_param_shardings,
+    param_shardings,
+    tree_shardings_like,
+)
 from .state import TrainState, ema_update
 
 __all__ = ["warmup_cosine_lr", "make_optimizer", "Trainer",
@@ -107,6 +111,7 @@ class Trainer:
                 process.num_timesteps
             )
         self._jitted = None
+        self._param_shardings = None
 
     # ------------------------------------------------------------- #
     # state init
@@ -139,10 +144,23 @@ class Trainer:
         )
         return self.shard_state(state)
 
+    def param_shardings(self):
+        """NamedSharding tree for the params: TP rules, extended with
+        ZeRO-3 sharding over 'data' when cfg.fsdp (the reference keeps full
+        AdamW replicas per rank, main.py:354; FSDP is the TPU extension)."""
+        if self._param_shardings is None:
+            raise RuntimeError("call init_state/shard_state first")
+        return self._param_shardings
+
     def shard_state(self, state: TrainState) -> TrainState:
-        """Place params/EMA/opt-state with TP shardings (replicated on a pure
-        data mesh)."""
-        p_sh = param_shardings(self.mesh, state.params)
+        """Place params/EMA/opt-state on the mesh: TP (+FSDP) shardings for
+        params and EMA, matching shardings for the Adam moments, replicated
+        scalars."""
+        if getattr(self.cfg, "fsdp", False):
+            p_sh = fsdp_param_shardings(self.mesh, state.params)
+        else:
+            p_sh = param_shardings(self.mesh, state.params)
+        self._param_shardings = p_sh
         rep = replicated_sharding(self.mesh)
 
         def put_like(tree, sh_tree):
@@ -150,15 +168,13 @@ class Trainer:
 
         params = put_like(state.params, p_sh)
         ema = put_like(state.ema_params, p_sh)
-        # Adam moments mirror the param shardings; scalars replicate.
-        def put_opt(x):
-            if hasattr(x, "shape") and x.ndim > 0:
-                return x  # handled below via tree_map on matching subtrees
-            return jax.device_put(x, rep)
-
-        opt_state = jax.tree_util.tree_map(
-            lambda x: jax.device_put(x), state.opt_state
+        # Adam moments mirror the param shardings (ZeRO-2/3 optimizer-state
+        # sharding under fsdp); other opt-state leaves replicate.
+        opt_sh = tree_shardings_like(
+            state.opt_state, jax.tree_util.tree_structure(state.params),
+            p_sh, rep,
         )
+        opt_state = put_like(state.opt_state, opt_sh)
         return TrainState(
             step=jax.device_put(state.step, rep), params=params,
             ema_params=ema, opt_state=opt_state,
