@@ -246,6 +246,12 @@ def train(cfg, ctx):
     last_dump_t = None
     last_dump_step = start_step
 
+    async_writer = None
+    if getattr(cfg, "async_checkpoint", False):
+        from ..train.checkpoint import AsyncCheckpointWriter
+
+        async_writer = AsyncCheckpointWriter()
+
     with trange(start_step, cfg.total_steps, initial=start_step,
                 total=cfg.total_steps, dynamic_ncols=True) as pbar:
         for step in range(start_step + 1, cfg.total_steps + 1):
@@ -276,10 +282,17 @@ def train(cfg, ctx):
             if cfg.sample_freq > 0 and step % cfg.sample_freq == 0:
                 generate_samples(cfg, step, ctx, save_grid=True)
             if cfg.save_step > 0 and step % cfg.save_step == 0:
-                path = save_checkpoint(cfg, step, state)
-                print(f"Checkpoint saved: {path}")
+                if async_writer is not None:
+                    path = async_writer.save(cfg, step, state)
+                    print(f"Checkpoint saving (async): {path}")
+                else:
+                    path = save_checkpoint(cfg, step, state)
+                    print(f"Checkpoint saved: {path}")
             if cfg.eval and cfg.eval_step > 0 and step % cfg.eval_step == 0:
                 evaluate(cfg, step, ctx)
+    if async_writer is not None:
+        async_writer.wait()
+        async_writer.close()
     return state
 
 

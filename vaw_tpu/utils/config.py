@@ -117,6 +117,7 @@ class TrainConfig:
     data_axis: int = -1  # -1: all devices on the data axis
     model_axis: int = 1  # tensor-parallel degree
     fsdp: bool = False  # ZeRO-3-style param/opt-state sharding over 'data'
+    async_checkpoint: bool = False  # non-blocking Orbax writes
 
     # logging & sampling
     logdir: str = "./logs"
@@ -237,6 +238,8 @@ def _add_common_args(p: argparse.ArgumentParser, defaults: dict):
     p.add_argument("--data_axis", type=int, default=d.data_axis)
     p.add_argument("--model_axis", type=int, default=d.model_axis)
     p.add_argument("--fsdp", default=d.fsdp, type=str2bool)
+    p.add_argument("--async_checkpoint", default=d.async_checkpoint,
+                   type=str2bool)
     p.add_argument("--logdir", type=str, default=d.logdir)
     p.add_argument("--sample_size", type=int, default=d.sample_size)
     p.add_argument("--sample_freq", type=int, default=d.sample_freq)
