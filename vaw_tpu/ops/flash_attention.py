@@ -5,13 +5,17 @@ flash attention in U-ViT (reference: models/uvit.py:8-18, 67-93) and the
 fp32-softmax QKVAttention in the UNet (models/unet.py:329-394). The forward
 kernel tiles queries over the grid and streams K/V blocks through VMEM with
 an online (log-sum-exp) softmax in f32 — the [T, T] score matrix is never
-materialized, so memory is O(T) instead of O(T^2). The backward kernel
-recomputes probabilities blockwise from the saved logsumexp (standard
-flash-attention backward) and accumulates dK/dV across query blocks inside
-the sequential TPU grid.
+materialized in HBM, so attention memory is O(T) instead of O(T^2). The
+backward kernel recomputes probabilities blockwise from the saved logsumexp
+(standard flash-attention backward) and accumulates dK/dV across query
+blocks inside the sequential TPU grid.
 
-ops.attention routes here for long sequences; at the reference's native
-token counts (<= 1026) XLA's fused attention is already optimal.
+Short-sequence shapes (DiT/ViT image tokens: T = 256..1026, head_dim 64)
+are grid-overhead-bound, not FLOP-bound, so the kernels additionally block
+over the fused batch*heads dimension (`block_b` pairs per grid step, batched
+`dot_general`s inside the kernel). This is what makes the kernel beat XLA's
+unfused path at T=256 — the win there is skipping the ~400MB of HBM traffic
+for the materialized [B,H,T,T] probabilities, not the matmul FLOPs.
 """
 
 from __future__ import annotations
@@ -28,6 +32,11 @@ __all__ = ["flash_attention"]
 
 DEFAULT_BLOCK_Q = 256
 DEFAULT_BLOCK_K = 256
+# VMEM budget for the per-step [block_b, block_q, block_k] f32 score tile.
+# The scoped-vmem ceiling is 16MB and the kernel holds ~2 score-sized
+# buffers (s and p) plus f32 q/k/v/acc copies, so the tile budget stays
+# well under half of it.
+_SCORE_TILE_BYTES = 2 << 20
 
 
 def _interpret() -> bool:
@@ -36,37 +45,46 @@ def _interpret() -> bool:
     return jax.devices()[0].platform not in ("tpu", "axon")
 
 
+def _pick_block_b(bh: int, block_q: int, block_k: int) -> int:
+    budget = max(1, _SCORE_TILE_BYTES // (block_q * block_k * 4))
+    for cand in (32, 16, 8, 4, 2, 1):
+        if cand <= budget and bh % cand == 0:
+            return cand
+    return 1
+
+
+# Batched dot_generals over the leading block_b dim: [bb,m,d] x [bb,n,d].
+def _bmm(a, b, contract, batch=((0,), (0,))):
+    return jax.lax.dot_general(
+        a, b, (contract, batch), preferred_element_type=jnp.float32
+    )
+
+
 def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale, block_k,
                 seq_k):
-    q = q_ref[0].astype(jnp.float32) * scale  # [bq, d]
-    block_q, d = q.shape
+    q = q_ref[...].astype(jnp.float32) * scale  # [bb, bq, d]
+    bb, block_q, d = q.shape
 
     def body(j, carry):
         acc, m_i, l_i = carry
-        k = k_ref[0, pl.ds(j * block_k, block_k), :].astype(jnp.float32)
-        v = v_ref[0, pl.ds(j * block_k, block_k), :].astype(jnp.float32)
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # [bq, bk]
-        m_new = jnp.maximum(m_i, jnp.max(s, axis=1))
+        k = k_ref[:, pl.ds(j * block_k, block_k), :].astype(jnp.float32)
+        v = v_ref[:, pl.ds(j * block_k, block_k), :].astype(jnp.float32)
+        s = _bmm(q, k, ((2,), (2,)))  # [bb, bq, bk]
+        m_new = jnp.maximum(m_i, jnp.max(s, axis=2))
         alpha = jnp.exp(m_i - m_new)
-        p = jnp.exp(s - m_new[:, None])
-        acc = acc * alpha[:, None] + jax.lax.dot_general(
-            p, v, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        l_i = l_i * alpha + jnp.sum(p, axis=1)
+        p = jnp.exp(s - m_new[:, :, None])
+        acc = acc * alpha[:, :, None] + _bmm(p, v, ((2,), (1,)))
+        l_i = l_i * alpha + jnp.sum(p, axis=2)
         return acc, m_new, l_i
 
-    acc = jnp.zeros((block_q, d), jnp.float32)
-    m_i = jnp.full((block_q,), -1e30, jnp.float32)
-    l_i = jnp.zeros((block_q,), jnp.float32)
+    acc = jnp.zeros((bb, block_q, d), jnp.float32)
+    m_i = jnp.full((bb, block_q), -1e30, jnp.float32)
+    l_i = jnp.zeros((bb, block_q), jnp.float32)
     acc, m_i, l_i = jax.lax.fori_loop(
         0, seq_k // block_k, body, (acc, m_i, l_i)
     )
-    o_ref[0] = (acc / l_i[:, None]).astype(o_ref.dtype)
-    lse_ref[0] = (m_i + jnp.log(l_i))[:, None]
+    o_ref[...] = (acc / l_i[:, :, None]).astype(o_ref.dtype)
+    lse_ref[...] = (m_i + jnp.log(l_i))[:, :, None]
 
 
 def _bwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, do_ref,
@@ -75,47 +93,35 @@ def _bwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, do_ref,
 
     @pl.when(i == 0)
     def _():
-        dk_ref[0] = jnp.zeros_like(dk_ref[0])
-        dv_ref[0] = jnp.zeros_like(dv_ref[0])
+        dk_ref[...] = jnp.zeros_like(dk_ref[...])
+        dv_ref[...] = jnp.zeros_like(dv_ref[...])
 
-    q = q_ref[0].astype(jnp.float32) * scale
-    do = do_ref[0].astype(jnp.float32)
-    o = o_ref[0].astype(jnp.float32)
-    lse = lse_ref[0][:, 0]
-    block_q, d = q.shape
-    delta = jnp.sum(do * o, axis=1)  # rowsum(dO * O)
+    q = q_ref[...].astype(jnp.float32) * scale  # [bb, bq, d]
+    do = do_ref[...].astype(jnp.float32)
+    o = o_ref[...].astype(jnp.float32)
+    lse = lse_ref[...][:, :, 0]  # [bb, bq]
+    bb, block_q, d = q.shape
+    delta = jnp.sum(do * o, axis=2)  # rowsum(dO * O) [bb, bq]
 
     def body(j, dq):
-        k = k_ref[0, pl.ds(j * block_k, block_k), :].astype(jnp.float32)
-        v = v_ref[0, pl.ds(j * block_k, block_k), :].astype(jnp.float32)
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        p = jnp.exp(s - lse[:, None])  # [bq, bk]
-        dp = jax.lax.dot_general(
-            do, v, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        ds = p * (dp - delta[:, None])
-        dv_ref[0, pl.ds(j * block_k, block_k), :] += jax.lax.dot_general(
-            p, do, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
+        ks = pl.ds(j * block_k, block_k)
+        k = k_ref[:, ks, :].astype(jnp.float32)
+        v = v_ref[:, ks, :].astype(jnp.float32)
+        s = _bmm(q, k, ((2,), (2,)))
+        p = jnp.exp(s - lse[:, :, None])  # [bb, bq, bk]
+        dp = _bmm(do, v, ((2,), (2,)))
+        ds = p * (dp - delta[:, :, None])
+        dv_ref[:, ks, :] += _bmm(
+            p, do, ((1,), (1,))
+        )  # p^T do over bq -> [bb, bk, d]
         # dK accumulates ds^T q; the q here already carries one factor of
         # `scale`, which is exactly dK = scale * (ds^T q_raw).
-        dk_ref[0, pl.ds(j * block_k, block_k), :] += jax.lax.dot_general(
-            ds, q, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        return dq + jax.lax.dot_general(
-            ds, k, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
+        dk_ref[:, ks, :] += _bmm(ds, q, ((1,), (1,)))
+        return dq + _bmm(ds, k, ((2,), (1,)))
 
-    dq = jnp.zeros((block_q, d), jnp.float32)
+    dq = jnp.zeros((bb, block_q, d), jnp.float32)
     dq = jax.lax.fori_loop(0, seq_k // block_k, body, dq)
-    dq_ref[0] = (dq * scale).astype(dq_ref.dtype)
+    dq_ref[...] = (dq * scale).astype(dq_ref.dtype)
 
 
 def _pad_q(x, multiple):
@@ -142,25 +148,26 @@ def _flash_fwd(q, k, v, scale):
     )
     q_p, orig_q = _pad_q(q, block_q)
     padded_q = q_p.shape[1]
+    block_b = _pick_block_b(bh, block_q, block_k)
 
     kernel = functools.partial(
         _fwd_kernel, scale=scale, block_k=block_k, seq_k=seq_k
     )
     out, lse = pl.pallas_call(
         kernel,
-        grid=(bh, padded_q // block_q),
+        grid=(bh // block_b, padded_q // block_q),
         in_specs=[
-            pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0),
+            pl.BlockSpec((block_b, block_q, d), lambda b, i: (b, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, seq_k, d), lambda b, i: (b, 0, 0),
+            pl.BlockSpec((block_b, seq_k, d), lambda b, i: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, seq_k, d), lambda b, i: (b, 0, 0),
+            pl.BlockSpec((block_b, seq_k, d), lambda b, i: (b, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0),
+            pl.BlockSpec((block_b, block_q, d), lambda b, i: (b, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_q, 1), lambda b, i: (b, i, 0),
+            pl.BlockSpec((block_b, block_q, 1), lambda b, i: (b, i, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
@@ -181,33 +188,34 @@ def _flash_bwd(scale, res, g):
     q_p, orig_q = _pad_q(q, block_q)
     g_p, _ = _pad_q(g, block_q)
     padded_q = q_p.shape[1]
+    block_b = _pick_block_b(bh, block_q, block_k)
 
     kernel = functools.partial(
         _bwd_kernel, scale=scale, block_k=block_k, seq_k=seq_k
     )
     dq, dk, dv = pl.pallas_call(
         kernel,
-        grid=(bh, padded_q // block_q),
+        grid=(bh // block_b, padded_q // block_q),
         in_specs=[
-            pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0),
+            pl.BlockSpec((block_b, block_q, d), lambda b, i: (b, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, seq_k, d), lambda b, i: (b, 0, 0),
+            pl.BlockSpec((block_b, seq_k, d), lambda b, i: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, seq_k, d), lambda b, i: (b, 0, 0),
+            pl.BlockSpec((block_b, seq_k, d), lambda b, i: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0),
+            pl.BlockSpec((block_b, block_q, d), lambda b, i: (b, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_q, 1), lambda b, i: (b, i, 0),
+            pl.BlockSpec((block_b, block_q, 1), lambda b, i: (b, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0),
+            pl.BlockSpec((block_b, block_q, d), lambda b, i: (b, i, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0),
+            pl.BlockSpec((block_b, block_q, d), lambda b, i: (b, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, seq_k, d), lambda b, i: (b, 0, 0),
+            pl.BlockSpec((block_b, seq_k, d), lambda b, i: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, seq_k, d), lambda b, i: (b, 0, 0),
+            pl.BlockSpec((block_b, seq_k, d), lambda b, i: (b, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[

@@ -5,6 +5,7 @@ from .mesh import (
     replicated_sharding,
     shard_batch,
 )
+from .pipeline import pipeline, stack_stage_params
 from .partition import (
     fsdp_param_shardings,
     fsdp_partition_specs,
@@ -21,4 +22,5 @@ __all__ = [
     "partition_specs", "param_shardings", "shard_params",
     "transformer_partition_rules",
     "fsdp_partition_specs", "fsdp_param_shardings", "tree_shardings_like",
+    "pipeline", "stack_stage_params",
 ]
