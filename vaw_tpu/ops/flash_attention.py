@@ -45,12 +45,22 @@ def _interpret() -> bool:
     return jax.devices()[0].platform not in ("tpu", "axon")
 
 
-def _pick_block_b(bh: int, block_q: int, block_k: int) -> int:
-    budget = max(1, _SCORE_TILE_BYTES // (block_q * block_k * 4))
-    for cand in (32, 16, 8, 4, 2, 1):
-        if cand <= budget and bh % cand == 0:
-            return cand
-    return 1
+def _pick_blocks(bh: int, block_q: int, block_k: int,
+                 tile_bytes: int = _SCORE_TILE_BYTES):
+    """(block_b, block_q) such that the f32 score tile fits `tile_bytes`
+    and block_b satisfies Mosaic's sublane rule for the 2D lse block
+    (divisible by 8, or equal to the full bh dim). Shrinks block_q before
+    giving up on bh-blocking — MXU efficiency comes from block_b."""
+    bq = block_q
+    while bq >= 16:
+        budget = max(1, tile_bytes // (bq * block_k * 4))
+        for cand in (32, 16, 8):
+            if cand <= budget and bh % cand == 0:
+                return cand, bq
+        bq //= 2
+    # tiny batch*heads (unit tests) or indivisible bh: one grid row holds
+    # the whole dim (block == array dim is always legal).
+    return bh, block_q
 
 
 # Batched dot_generals over the leading block_b dim: [bb,m,d] x [bb,n,d].
@@ -84,7 +94,9 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale, block_k,
         0, seq_k // block_k, body, (acc, m_i, l_i)
     )
     o_ref[...] = (acc / l_i[:, :, None]).astype(o_ref.dtype)
-    lse_ref[...] = (m_i + jnp.log(l_i))[:, :, None]
+    # lse stays 2D [bb, bq]: a trailing size-1 dim would pad 128x in HBM
+    # (T(8,128) tiling), costing ~400MB/block at DiT-B scale.
+    lse_ref[...] = m_i + jnp.log(l_i)
 
 
 def _bwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, do_ref,
@@ -99,7 +111,7 @@ def _bwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, do_ref,
     q = q_ref[...].astype(jnp.float32) * scale  # [bb, bq, d]
     do = do_ref[...].astype(jnp.float32)
     o = o_ref[...].astype(jnp.float32)
-    lse = lse_ref[...][:, :, 0]  # [bb, bq]
+    lse = lse_ref[...]  # [bb, bq]
     bb, block_q, d = q.shape
     delta = jnp.sum(do * o, axis=2)  # rowsum(dO * O) [bb, bq]
 
@@ -146,9 +158,9 @@ def _flash_fwd(q, k, v, scale):
     assert seq_k % block_k == 0, (
         f"flash_attention requires seq_k divisible by {block_k}; got {seq_k}"
     )
+    block_b, block_q = _pick_blocks(bh, block_q, block_k)
     q_p, orig_q = _pad_q(q, block_q)
     padded_q = q_p.shape[1]
-    block_b = _pick_block_b(bh, block_q, block_k)
 
     kernel = functools.partial(
         _fwd_kernel, scale=scale, block_k=block_k, seq_k=seq_k
@@ -167,12 +179,12 @@ def _flash_fwd(q, k, v, scale):
         out_specs=[
             pl.BlockSpec((block_b, block_q, d), lambda b, i: (b, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_b, block_q, 1), lambda b, i: (b, i, 0),
+            pl.BlockSpec((block_b, block_q), lambda b, i: (b, i),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((bh, padded_q, d), q.dtype),
-            jax.ShapeDtypeStruct((bh, padded_q, 1), jnp.float32),
+            jax.ShapeDtypeStruct((bh, padded_q), jnp.float32),
         ],
         interpret=_interpret(),
     )(q_p, k, v)
@@ -185,10 +197,13 @@ def _flash_bwd(scale, res, g):
     seq_k = k.shape[1]
     block_q = min(DEFAULT_BLOCK_Q, seq_q)
     block_k = min(DEFAULT_BLOCK_K, seq_k)
+    # The backward holds twice the live tiles (s/p plus dp/ds and the dq/dk/
+    # dv accumulators), so it gets half the forward's score-tile budget.
+    block_b, block_q = _pick_blocks(bh, block_q, block_k,
+                                    _SCORE_TILE_BYTES // 2)
     q_p, orig_q = _pad_q(q, block_q)
     g_p, _ = _pad_q(g, block_q)
     padded_q = q_p.shape[1]
-    block_b = _pick_block_b(bh, block_q, block_k)
 
     kernel = functools.partial(
         _bwd_kernel, scale=scale, block_k=block_k, seq_k=seq_k
@@ -205,7 +220,7 @@ def _flash_bwd(scale, res, g):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((block_b, block_q, d), lambda b, i: (b, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_b, block_q, 1), lambda b, i: (b, i, 0),
+            pl.BlockSpec((block_b, block_q), lambda b, i: (b, i),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((block_b, block_q, d), lambda b, i: (b, i, 0),
                          memory_space=pltpu.VMEM),
