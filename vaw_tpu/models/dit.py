@@ -106,6 +106,12 @@ class DiT(nn.Module):
     # reference's CheckpointFunction, tools/nn.py:124-170) — trades ~33%
     # extra FLOPs for O(depth) -> O(1) activation memory.
     use_checkpoint: bool = False
+    # Compile ONE block and lax.scan it over stacked [depth, ...] params:
+    # O(depth) -> O(1) compile time (matters through slow remote-compile
+    # paths) and the param layout pipeline parallelism consumes
+    # (parallel/pipeline.py). Incompatible with the REPA tap (needs an
+    # unrolled per-block tap point) and with the name-based TP rules.
+    scan_blocks: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -132,6 +138,15 @@ class DiT(nn.Module):
             nn.remat(DiTBlock) if self.use_checkpoint else DiTBlock
         )
         zs = None
+        if self.scan_blocks:
+            assert not self.learn_align, (
+                "scan_blocks is incompatible with the REPA tap"
+            )
+            x = self._scan_blocks(block_cls, x, c)
+            x = FinalLayer(self.hidden_size, self.patch_size, out_channels,
+                           dtype=self.dtype)(x, c)
+            x = self._unpatchify(x, out_channels)
+            return x.astype(jnp.float32), zs
         for i in range(self.depth):
             x = block_cls(self.hidden_size, self.num_heads, self.mlp_ratio,
                           dtype=self.dtype)(x, c)
@@ -150,6 +165,32 @@ class DiT(nn.Module):
                        dtype=self.dtype)(x, c)
         x = self._unpatchify(x, out_channels)
         return x.astype(jnp.float32), zs
+
+    def _scan_blocks(self, block_cls, x, c):
+        """lax.scan one compiled block over stacked [depth, ...] params."""
+
+        class Body(nn.Module):
+            hidden_size: int
+            num_heads: int
+            mlp_ratio: float
+            dtype: jnp.dtype
+
+            @nn.compact
+            def __call__(self, x, c):
+                x = block_cls(self.hidden_size, self.num_heads,
+                              self.mlp_ratio, dtype=self.dtype)(x, c)
+                return x, None
+
+        scan = nn.scan(
+            Body,
+            variable_axes={"params": 0},
+            split_rngs={"params": True, "dropout": True},
+            length=self.depth,
+            in_axes=nn.broadcast,
+        )
+        x, _ = scan(self.hidden_size, self.num_heads, self.mlp_ratio,
+                    dtype=self.dtype, name="ScanBlocks")(x, c)
+        return x
 
     def forward_with_cfg(self, x, t, y, cfg_scale: float = 1.0):
         """Batched-uncond CFG forward with the reference's 3-channel guidance

@@ -147,8 +147,15 @@ class AttentionBlock(nn.Module):
         tokens = x.reshape(n, h * w, c)
         y = GroupNorm32()(tokens)
         qkv = nn.Dense(3 * c, dtype=self.dtype)(y)
-        qkv = qkv.reshape(n, h * w, 3, heads, c // heads)
-        out = multi_head_attention(qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2])
+        # split-then-reshape: the strided 5D slice forces layout copies on
+        # the qkv gradient path (see models/layers.py MultiHeadSelfAttention)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        hd = c // heads
+        out = multi_head_attention(
+            q.reshape(n, h * w, heads, hd),
+            k.reshape(n, h * w, heads, hd),
+            v.reshape(n, h * w, heads, hd),
+        )
         out = out.reshape(n, h * w, c)
         out = nn.Dense(c, dtype=self.dtype, kernel_init=zeros_init,
                        bias_init=zeros_init)(out)

@@ -33,10 +33,12 @@ __all__ = ["flash_attention"]
 DEFAULT_BLOCK_Q = 256
 DEFAULT_BLOCK_K = 256
 # VMEM budget for the per-step [block_b, block_q, block_k] f32 score tile.
-# The scoped-vmem ceiling is 16MB and the kernel holds ~2 score-sized
-# buffers (s and p) plus f32 q/k/v/acc copies, so the tile budget stays
-# well under half of it.
+# The kernel holds ~2 score-sized buffers (s and p) plus f32 q/k/v/acc
+# copies and (at long seq_k) resident K/V blocks, so the pallas_calls also
+# raise Mosaic's default 16MB scoped-vmem ceiling (v5e has 128MB VMEM).
 _SCORE_TILE_BYTES = 2 << 20
+_VMEM_LIMIT = 64 << 20
+_COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT)
 
 
 def _interpret() -> bool:
@@ -187,6 +189,7 @@ def _flash_fwd(q, k, v, scale):
             jax.ShapeDtypeStruct((bh, padded_q), jnp.float32),
         ],
         interpret=_interpret(),
+        compiler_params=_COMPILER_PARAMS,
     )(q_p, k, v)
     return out[:, :orig_q], (q, k, v, out, lse)
 
@@ -239,6 +242,7 @@ def _flash_bwd(scale, res, g):
             jax.ShapeDtypeStruct((bh, seq_k, d), jnp.float32),
         ],
         interpret=_interpret(),
+        compiler_params=_COMPILER_PARAMS,
     )(q_p, k, v, out_p, lse, g_p)
     return (
         dq[:, :orig_q].astype(q.dtype),
