@@ -28,12 +28,12 @@ variables = model.init({"params": rng}, x, jnp.zeros((2,)),
                        jnp.zeros((2,), jnp.int32))
 
 
-def model_fn(x, t, y=None):
-    out, _ = model.apply(variables, x, t, y)
+def model_fn(params, x, t, y=None):
+    out, _ = model.apply(params, x, t, y)
     return out
 
 
-sampler = Sampler(cfg, model_fn)
+sampler = Sampler(cfg, model_fn, params=variables)
 arr, labels = sampler.sample(jax.random.key(1), batch, batch, 32, 1000)
 t0 = time.perf_counter()
 n = 3

@@ -171,11 +171,13 @@ def _make_sampler(cfg, ctx, ema: bool = True) -> Sampler:
     model, state = ctx["model"], ctx["state"]
     params = state.ema_params if ema else state.params
 
-    def model_fn(x, t, **kw):
-        return model.apply({"params": params}, x, t, train=False, **kw)
+    def model_fn(p, x, t, **kw):
+        return model.apply({"params": p}, x, t, train=False, **kw)
 
+    # params flow through the jitted sampling programs as arguments (not
+    # closure constants) so serialized HLO stays weight-free.
     return Sampler(cfg, model_fn, diffusion=ctx["sample_diffusion"],
-                   vae_decode_fn=ctx["vae_decode_fn"])
+                   vae_decode_fn=ctx["vae_decode_fn"], params=params)
 
 
 def generate_samples(cfg, step, ctx, save_grid=False):

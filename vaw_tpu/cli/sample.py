@@ -58,12 +58,11 @@ def main(argv=None):
         except Exception as e:  # noqa: BLE001
             print(f"[vae] decoder unavailable ({e})")
 
-    def model_fn(x, t, **kw):
-        return model.apply({"params": state.ema_params}, x, t, train=False,
-                           **kw)
+    def model_fn(params, x, t, **kw):
+        return model.apply({"params": params}, x, t, train=False, **kw)
 
     sampler = Sampler(cfg, model_fn, diffusion=sample_diffusion,
-                      vae_decode_fn=vae_decode_fn)
+                      vae_decode_fn=vae_decode_fn, params=state.ema_params)
     samples, labels = sampler.sample(
         jax.random.key(cfg.seed), cfg.num_samples, cfg.sample_size,
         cfg.image_size, cfg.num_classes, progress_bar=True,

@@ -24,6 +24,7 @@ def build_model(cfg):
             num_classes=cfg.num_classes, in_channels=cfg.in_chans,
             drop_label_prob=cfg.drop_label_prob, dropout=cfg.dropout,
             learn_sigma=cfg.learn_sigma, class_cond=cfg.class_cond,
+            use_checkpoint=getattr(cfg, "use_checkpoint", False),
             dtype=cfg.compute_dtype,
         )
     if name in UViT_models:
@@ -46,6 +47,8 @@ def build_model(cfg):
             learn_sigma=cfg.learn_sigma, learn_align=cfg.learn_align,
             encoder_depth=cfg.encoder_depth,
             class_dropout_prob=cfg.drop_label_prob, z_dims=cfg.z_dims,
+            use_checkpoint=getattr(cfg, "use_checkpoint", False),
+            scan_blocks=getattr(cfg, "scan_blocks", False),
             dtype=cfg.compute_dtype,
         )
     raise ValueError(f"Unsupported model variant: {name}")

@@ -125,12 +125,12 @@ def _bwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, do_ref,
         p = jnp.exp(s - lse[:, :, None])  # [bb, bq, bk]
         dp = _bmm(do, v, ((2,), (2,)))
         ds = p * (dp - delta[:, :, None])
-        dv_ref[:, ks, :] += _bmm(
-            p, do, ((1,), (1,))
-        )  # p^T do over bq -> [bb, bk, d]
-        # dK accumulates ds^T q; the q here already carries one factor of
-        # `scale`, which is exactly dK = scale * (ds^T q_raw).
-        dk_ref[:, ks, :] += _bmm(ds, q, ((1,), (1,)))
+        # p^T do over bq -> [bb, bk, d]; dK accumulates ds^T q (the q here
+        # already carries one factor of `scale` = dK = scale * ds^T q_raw).
+        # dk/dv refs are bf16 when the q grid is a single block (no true
+        # accumulation) — halves the padded HBM writeback.
+        dv_ref[:, ks, :] += _bmm(p, do, ((1,), (1,))).astype(dv_ref.dtype)
+        dk_ref[:, ks, :] += _bmm(ds, q, ((1,), (1,))).astype(dk_ref.dtype)
         return dq + _bmm(ds, k, ((2,), (1,)))
 
     dq = jnp.zeros((bb, block_q, d), jnp.float32)
@@ -207,6 +207,7 @@ def _flash_bwd(scale, res, g):
     q_p, orig_q = _pad_q(q, block_q)
     g_p, _ = _pad_q(g, block_q)
     padded_q = q_p.shape[1]
+    acc_dtype = jnp.float32 if padded_q // block_q > 1 else k.dtype
 
     kernel = functools.partial(
         _bwd_kernel, scale=scale, block_k=block_k, seq_k=seq_k
@@ -238,8 +239,11 @@ def _flash_bwd(scale, res, g):
         ],
         out_shape=[
             jax.ShapeDtypeStruct((bh, padded_q, d), q.dtype),
-            jax.ShapeDtypeStruct((bh, seq_k, d), jnp.float32),
-            jax.ShapeDtypeStruct((bh, seq_k, d), jnp.float32),
+            # f32 accumulators only when several q blocks truly accumulate;
+            # single-block grids write the final value once, so emitting the
+            # input dtype directly halves the padded HBM writeback.
+            jax.ShapeDtypeStruct((bh, seq_k, d), acc_dtype),
+            jax.ShapeDtypeStruct((bh, seq_k, d), acc_dtype),
         ],
         interpret=_interpret(),
         compiler_params=_COMPILER_PARAMS,

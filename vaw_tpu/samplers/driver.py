@@ -40,17 +40,33 @@ class Sampler:
     """
 
     def __init__(self, cfg, model_fn, diffusion=None, vae_decode_fn=None,
-                 classifier_fn=None):
+                 classifier_fn=None, params=None):
+        """With `params`, model_fn must take (params, x, t, **kw) and the
+        weights flow through the jitted programs as ARGUMENTS — a plain
+        (x, t) closure embeds them as constants in the compiled program,
+        which bloats serialized HLO (a DiT-B sampler ships ~500MB of weight
+        literals to any AOT/remote compiler)."""
         self.cfg = cfg
-        self.model_fn = model_fn
         self.diffusion = diffusion
         self.vae_decode_fn = vae_decode_fn
         self.classifier_fn = classifier_fn
-        self.cfg_model = IntervalCFG(
-            model_fn, cfg.num_classes, cfg.guidance_scale, tuple(cfg.interval),
-            cfg.class_cond,
-        )
+        self.params = params
+        if params is None:
+            self._apply = lambda p, x, t, **kw: model_fn(x, t, **kw)
+        else:
+            self._apply = model_fn
         self._jit_cache = {}
+
+    def _bind(self, params):
+        """(x, t, **kw) callable with `params` bound; plus its CFG wrapper."""
+        def model(x, t, **kw):
+            return self._apply(params, x, t, **kw)
+
+        cfg_model = IntervalCFG(
+            model, self.cfg.num_classes, self.cfg.guidance_scale,
+            tuple(self.cfg.interval), self.cfg.class_cond,
+        )
+        return model, cfg_model
 
     # ------------------------------------------------------------- #
     # label sampling (reference: tools/sampler.py:216-229)
@@ -75,12 +91,13 @@ class Sampler:
             samples = self.vae_decode_fn(samples / self.cfg.latent_scale)
         return _inverse_normalize(samples)
 
-    def _ddim_batch(self, rng, shape, y):
+    def _ddim_batch(self, params, rng, shape, y):
         """(reference: tools/sampler.py:117-149)"""
+        raw_model, cfg_model = self._bind(params)
         cond_fn = None
-        model = self.cfg_model
+        model = cfg_model
         if self.classifier_fn is not None:
-            model = self.model_fn
+            model = raw_model
             cond_fn = classifier_cond_fn(
                 self.classifier_fn, self.cfg.guidance_scale
             )
@@ -91,22 +108,24 @@ class Sampler:
         )
         return self._decode(samples)
 
-    def _edm_batch(self, rng, shape, y, plan, g_steps):
+    def _edm_batch(self, params, rng, shape, y, plan, g_steps):
         """(reference: tools/sampler.py:151-188)"""
+        _, cfg_model = self._bind(params)
         latents = jax.random.normal(jax.random.fold_in(rng, 0), shape)
         samples = ablation_sampler(
-            self.cfg_model, jax.random.fold_in(rng, 1), latents, plan,
+            cfg_model, jax.random.fold_in(rng, 1), latents, plan,
             class_labels=y, guidance_scales=g_steps,
             img_channels=self.cfg.in_chans,
         )
         return self._decode(samples)
 
-    def _flow_batch(self, rng, shape, y):
+    def _flow_batch(self, params, rng, shape, y):
         """(reference: tools/sampler.py:190-214)"""
+        _, cfg_model = self._bind(params)
         noise = jax.random.normal(jax.random.fold_in(rng, 0), shape)
         model_kwargs = {"y": y} if self.cfg.class_cond else {}
         samples = self.diffusion.sample(
-            lambda x, t, **kw: self.cfg_model(x, t, **kw),
+            lambda x, t, **kw: cfg_model(x, t, **kw),
             jax.random.fold_in(rng, 1), noise,
             num_steps=self.cfg.sample_steps, solver=self.cfg.solver,
             model_kwargs=model_kwargs,
@@ -146,7 +165,7 @@ class Sampler:
         else:
             raise ValueError(f"Unsupported model_mode: {cfg.model_mode}")
 
-        jitted = jax.jit(batch_fn, static_argnums=(1,))
+        jitted = jax.jit(batch_fn, static_argnums=(2,))
         all_samples: List[np.ndarray] = []
         all_labels: List[np.ndarray] = []
         produced = 0
@@ -160,7 +179,7 @@ class Sampler:
             bk = jax.random.fold_in(rng, batch_idx)
             y = self._get_y_cond(jax.random.fold_in(bk, 7), sample_size,
                                  num_classes)
-            out = jitted(bk, shape, y)
+            out = jitted(self.params, bk, shape, y)
             all_samples.append(np.asarray(out))
             if cfg.class_cond:
                 all_labels.append(np.asarray(y))

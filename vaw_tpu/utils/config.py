@@ -118,6 +118,10 @@ class TrainConfig:
     model_axis: int = 1  # tensor-parallel degree
     fsdp: bool = False  # ZeRO-3-style param/opt-state sharding over 'data'
     async_checkpoint: bool = False  # non-blocking Orbax writes
+    # gradient rematerialization (reference: models/unet.py use_checkpoint,
+    # tools/nn.py:124-170) and scan-compiled DiT blocks (TPU extension)
+    use_checkpoint: bool = False
+    scan_blocks: bool = False
 
     # logging & sampling
     logdir: str = "./logs"
@@ -240,6 +244,9 @@ def _add_common_args(p: argparse.ArgumentParser, defaults: dict):
     p.add_argument("--fsdp", default=d.fsdp, type=str2bool)
     p.add_argument("--async_checkpoint", default=d.async_checkpoint,
                    type=str2bool)
+    p.add_argument("--use_checkpoint", default=d.use_checkpoint,
+                   type=str2bool)
+    p.add_argument("--scan_blocks", default=d.scan_blocks, type=str2bool)
     p.add_argument("--logdir", type=str, default=d.logdir)
     p.add_argument("--sample_size", type=int, default=d.sample_size)
     p.add_argument("--sample_freq", type=int, default=d.sample_freq)
