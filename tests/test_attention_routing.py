@@ -1,0 +1,70 @@
+"""Attention routing + guidance fast-path tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vaw_tpu.ops.attention import _flash_eligible, multi_head_attention
+from vaw_tpu.samplers.guidance import IntervalCFG
+
+
+def _qkv(b=2, t=256, h=2, d=64, seed=0):
+    rs = np.random.RandomState(seed)
+    mk = lambda: jnp.asarray(rs.randn(b, t, h, d), jnp.float32)
+    return mk(), mk(), mk()
+
+
+def test_flash_eligibility_gate():
+    q, k, v = _qkv(t=256)
+    assert _flash_eligible(q, k)
+    # ViT's 1026 tokens (cls+time) are not block-divisible -> XLA path
+    q2, k2, v2 = _qkv(t=1026 - 770)  # any non-divisible, fast to build
+    q2 = jnp.zeros((2, 1026, 2, 64))
+    k2 = jnp.zeros((2, 1026, 2, 64))
+    assert not _flash_eligible(q2, k2)
+    # unaligned head_dim -> XLA path
+    q3 = jnp.zeros((2, 256, 2, 72))
+    assert not _flash_eligible(q3, q3)
+
+
+def test_router_explicit_pallas_matches_xla():
+    q, k, v = _qkv()
+    a = multi_head_attention(q, k, v, use_pallas=False)
+    b = multi_head_attention(q, k, v, use_pallas=True)  # interpret on CPU
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=2e-3, atol=2e-3)
+
+
+def test_interval_cfg_scale_one_skips_doubling():
+    calls = []
+
+    def model_fn(x, t, y=None):
+        calls.append(x.shape[0])
+        return x * 2.0
+
+    cfg = IntervalCFG(model_fn, num_classes=10, guidance_scale=1.0,
+                      class_cond=True)
+    x = jnp.ones((4, 8, 8, 3))
+    t = jnp.ones((4,))
+    y = jnp.zeros((4,), jnp.int32)
+    out = cfg(x, t, y=y)
+    assert calls == [4], "scale-1 guidance must not double the batch"
+    np.testing.assert_allclose(np.asarray(out), np.asarray(x) * 2.0)
+
+
+def test_interval_cfg_scale_one_matches_doubled_path():
+    """The fast path must be numerically identical to the doubled path with
+    g == 1 (uncond + 1*(cond-uncond) == cond) for a label-dependent model."""
+    table = np.random.RandomState(0).randn(11, 1).astype(np.float32)
+
+    def model_fn(x, t, y=None):
+        bias = jnp.asarray(table)[y][:, :, None, None]
+        return x + bias
+
+    x = jnp.ones((4, 8, 8, 1))
+    t = jnp.ones((4,))
+    y = jnp.asarray([1, 2, 3, 4], jnp.int32)
+    fast = IntervalCFG(model_fn, 10, 1.0, class_cond=True)(x, t, y=y)
+    slow = IntervalCFG(model_fn, 10, 3.0, class_cond=True)(x, t, y=y, g=1.0)
+    np.testing.assert_allclose(np.asarray(fast), np.asarray(slow),
+                               rtol=1e-6, atol=1e-6)

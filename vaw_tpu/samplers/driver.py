@@ -142,30 +142,39 @@ class Sampler:
         cfg = self.cfg
         shape = (sample_size, image_size, image_size, cfg.in_chans)
 
-        if cfg.model_mode == "flow":
-            batch_fn = self._flow_batch
-        elif cfg.model_mode == "diffusion":
-            if cfg.solver == "ddim":
-                batch_fn = self._ddim_batch
+        # One jit wrapper per (mode, solver, steps) for the Sampler's
+        # lifetime: rebuilding jax.jit per sample() call would re-trace the
+        # whole denoising program every batch (seconds of host overhead).
+        cache_key = (cfg.model_mode, cfg.solver, cfg.sample_steps)
+        jitted = self._jit_cache.get(cache_key)
+        if jitted is None:
+            if cfg.model_mode == "flow":
+                batch_fn = self._flow_batch
+            elif cfg.model_mode == "diffusion":
+                if cfg.solver == "ddim":
+                    batch_fn = self._ddim_batch
+                else:
+                    plan = build_edm_plan(
+                        num_steps=cfg.sample_steps, solver=cfg.solver,
+                        discretization=cfg.discretization,
+                        schedule=cfg.schedule,
+                        scaling=cfg.scaling, noise_schedule=cfg.path_type,
+                        pred_type=cfg.mean_type,
+                    )
+                    g_steps = np.array([
+                        cfg_scale_for_time(t, cfg.guidance_scale,
+                                           tuple(cfg.interval))
+                        for t in plan.c_noise_hat
+                    ])
+                    batch_fn = functools.partial(
+                        self._edm_batch, plan=plan, g_steps=g_steps
+                    )
             else:
-                plan = build_edm_plan(
-                    num_steps=cfg.sample_steps, solver=cfg.solver,
-                    discretization=cfg.discretization, schedule=cfg.schedule,
-                    scaling=cfg.scaling, noise_schedule=cfg.path_type,
-                    pred_type=cfg.mean_type,
+                raise ValueError(
+                    f"Unsupported model_mode: {cfg.model_mode}"
                 )
-                g_steps = np.array([
-                    cfg_scale_for_time(t, cfg.guidance_scale,
-                                       tuple(cfg.interval))
-                    for t in plan.c_noise_hat
-                ])
-                batch_fn = functools.partial(
-                    self._edm_batch, plan=plan, g_steps=g_steps
-                )
-        else:
-            raise ValueError(f"Unsupported model_mode: {cfg.model_mode}")
-
-        jitted = jax.jit(batch_fn, static_argnums=(2,))
+            jitted = jax.jit(batch_fn, static_argnums=(2,))
+            self._jit_cache[cache_key] = jitted
         all_samples: List[np.ndarray] = []
         all_labels: List[np.ndarray] = []
         produced = 0

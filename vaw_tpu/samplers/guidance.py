@@ -67,6 +67,14 @@ class IntervalCFG:
         if not self.class_cond or y is None:
             out = self.model_fn(x, t)
             return out[0] if isinstance(out, tuple) else out
+        if abs(self.guidance_scale - 1.0) < 1e-8:
+            # Guidance at scale 1 is exactly the conditional model
+            # (uncond + 1*(cond-uncond) == cond; the interval can only gate
+            # the scale further down to 1) — skip the doubled forward. The
+            # default eval protocol samples at scale 1.0 (reference:
+            # main.py:116), so this halves its NFE.
+            out = self.model_fn(x, t, y=y)
+            return out[0] if isinstance(out, tuple) else out
         if g is None:
             g = self._scale_from_time(t)
         y_null = jnp.full_like(y, self.null_label)
