@@ -1,0 +1,43 @@
+"""sample.py inference CLI end-to-end: train a tiny checkpoint via main.py,
+then load it with the sampling entry point and dump PNGs (per-class
+subdirectories when conditional — reference: sample.py:155-182)."""
+
+import glob
+import os
+
+from vaw_tpu.cli.main import init, parse_args, train
+from vaw_tpu.cli.sample import main as sample_main
+
+
+def test_sample_cli_end_to_end(tmp_path):
+    logdir = str(tmp_path / "train")
+    cfg = parse_args([
+        "--dataset", "Gaussian", "--model", "DiT-S", "--image_size", "8",
+        "--patch_size", "4", "--in_chans", "3", "--num_classes", "5",
+        "--class_cond", "True", "--batch_size", "8", "--total_steps", "2",
+        "--sample_freq", "0", "--sample_steps", "4",
+        "--diffusion_steps", "20", "--save_step", "2", "--eval", "False",
+        "--amp", "False", "--solver", "ddim", "--logdir", logdir,
+        "--weight_type", "lambda",
+    ])
+    ctx = init(cfg)
+    train(cfg, ctx)
+    ckpts = glob.glob(os.path.join(cfg.logdir, "checkpoint", "*"))
+    assert ckpts
+
+    out_dir = str(tmp_path / "pngs")
+    sample_main([
+        "--dataset", "Gaussian", "--model", "DiT-S", "--image_size", "8",
+        "--patch_size", "4", "--in_chans", "3", "--num_classes", "5",
+        "--class_cond", "True", "--batch_size", "8",
+        "--sample_steps", "4", "--diffusion_steps", "20",
+        "--solver", "ddim", "--resume", ckpts[0],
+        "--num_samples", "4", "--sample_size", "4",
+        "--save_path", out_dir,
+    ])
+    pngs = glob.glob(os.path.join(out_dir, "*", "*.png"))
+    assert len(pngs) == 4, pngs
+    # conditional -> per-class subdirectories named by the integer label
+    for p in pngs:
+        label_dir = os.path.basename(os.path.dirname(p))
+        assert label_dir.isdigit() and 0 <= int(label_dir) < 5

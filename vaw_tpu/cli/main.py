@@ -115,6 +115,8 @@ def init(cfg):
     train_loader, val_loader = load_dataset(
         cfg.data_dir, cfg.dataset, cfg.batch_size, cfg.image_size,
         num_workers=cfg.num_workers, seed=cfg.seed,
+        num_classes=cfg.num_classes if cfg.class_cond else 0,
+        channels=cfg.in_chans,
     )
 
     diffusion = build_diffusion(cfg, use_ddim=False)

@@ -309,15 +309,18 @@ class BatchLoader:
 
 def load_dataset(data_dir: str, dataset: str, batch_size: int,
                  image_size: int, num_workers: int = 0, shuffle: bool = True,
-                 seed: int = 0):
+                 seed: int = 0, num_classes: int = 0, channels: int = 3):
     """Unified loader (reference: datasets/data_loader.py:199-224). Returns
     (train_loader, test_loader)."""
     if dataset == "CIFAR-10":
         train = Cifar10Dataset(data_dir, train=True)
         test = Cifar10Dataset(data_dir, train=False, flip=False)
     elif dataset == "Gaussian":
-        train = GaussianDataset(image_size=image_size)
-        test = GaussianDataset(image_size=image_size, length=10_000, seed=1)
+        train = GaussianDataset(image_size=image_size, channels=channels,
+                                num_classes=num_classes)
+        test = GaussianDataset(image_size=image_size, channels=channels,
+                               num_classes=num_classes, length=10_000,
+                               seed=1)
     elif dataset in ("CelebA", "ImageNet", "LSUN"):
         sub = {"CelebA": "celeba", "ImageNet": "train", "LSUN": "lsun"}
         root = os.path.join(data_dir, sub.get(dataset, ""))

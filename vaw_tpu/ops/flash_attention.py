@@ -10,12 +10,19 @@ backward kernel recomputes probabilities blockwise from the saved logsumexp
 (standard flash-attention backward) and accumulates dK/dV across query
 blocks inside the sequential TPU grid.
 
+Layout: all HBM operands are **d-major** [batch*heads, head_dim, T].
+Head-minor [bh, T, 64] tensors pad 2x under the TPU's (8, 128) tiling
+(64 -> 128 lanes), doubling every DMA; with head_dim on the sublane axis
+(64 % 8 == 0) and T on the lane axis (multiples of 128) there is no padding
+at all, and the PV / dV / dK matmuls contract over T (K=256) instead of
+head_dim (K=64) — better MXU shapes.
+
 Short-sequence shapes (DiT/ViT image tokens: T = 256..1026, head_dim 64)
 are grid-overhead-bound, not FLOP-bound, so the kernels additionally block
 over the fused batch*heads dimension (`block_b` pairs per grid step, batched
-`dot_general`s inside the kernel). This is what makes the kernel beat XLA's
-unfused path at T=256 — the win there is skipping the ~400MB of HBM traffic
-for the materialized [B,H,T,T] probabilities, not the matmul FLOPs.
+`dot_general`s inside the kernel). The win over XLA's unfused path at T=256
+is skipping the ~400MB HBM round-trip of materialized [B,H,T,T]
+probabilities, not matmul FLOPs.
 """
 
 from __future__ import annotations
@@ -65,7 +72,7 @@ def _pick_blocks(bh: int, block_q: int, block_k: int,
     return bh, block_q
 
 
-# Batched dot_generals over the leading block_b dim: [bb,m,d] x [bb,n,d].
+# Batched dot_generals over the leading block_b dim.
 def _bmm(a, b, contract, batch=((0,), (0,))):
     return jax.lax.dot_general(
         a, b, (contract, batch), preferred_element_type=jnp.float32
@@ -74,28 +81,36 @@ def _bmm(a, b, contract, batch=((0,), (0,))):
 
 def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale, block_k,
                 seq_k):
-    q = q_ref[...].astype(jnp.float32) * scale  # [bb, bq, d]
-    bb, block_q, d = q.shape
+    """Scores are computed TRANSPOSED, st = K^T Q in [bb, bk, bq]: with
+    d-major operands this gives every dot_general classic MXU shapes (lhs
+    contracting on lanes, rhs on sublanes) — a sublane-contracted batched
+    dot would be lowered as a broadcast-multiply-reduce (68MB VMEM at DiT-B
+    tiles). Softmax reduces over the sublane (bk) axis."""
+    q = q_ref[...].astype(jnp.float32) * scale  # [bb, d, bq]
+    bb, d, block_q = q.shape
 
     def body(j, carry):
         acc, m_i, l_i = carry
-        k = k_ref[:, pl.ds(j * block_k, block_k), :].astype(jnp.float32)
-        v = v_ref[:, pl.ds(j * block_k, block_k), :].astype(jnp.float32)
-        s = _bmm(q, k, ((2,), (2,)))  # [bb, bq, bk]
-        m_new = jnp.maximum(m_i, jnp.max(s, axis=2))
+        ks = pl.ds(j * block_k, block_k)
+        k = k_ref[:, :, ks].astype(jnp.float32)  # [bb, d, bk]
+        v = v_ref[:, :, ks].astype(jnp.float32)
+        kt = jnp.swapaxes(k, 1, 2)  # [bb, bk, d]
+        st = _bmm(kt, q, ((2,), (1,)))  # [bb, bk, bq]
+        m_new = jnp.maximum(m_i, jnp.max(st, axis=1))
         alpha = jnp.exp(m_i - m_new)
-        p = jnp.exp(s - m_new[:, :, None])
-        acc = acc * alpha[:, :, None] + _bmm(p, v, ((2,), (1,)))
-        l_i = l_i * alpha + jnp.sum(p, axis=2)
+        p = jnp.exp(st - m_new[:, None, :])
+        # PV: [bb,d,bk] x [bb,bk,bq] -> [bb, d, bq]
+        acc = acc * alpha[:, None, :] + _bmm(v, p, ((2,), (1,)))
+        l_i = l_i * alpha + jnp.sum(p, axis=1)
         return acc, m_new, l_i
 
-    acc = jnp.zeros((bb, block_q, d), jnp.float32)
+    acc = jnp.zeros((bb, d, block_q), jnp.float32)
     m_i = jnp.full((bb, block_q), -1e30, jnp.float32)
     l_i = jnp.zeros((bb, block_q), jnp.float32)
     acc, m_i, l_i = jax.lax.fori_loop(
         0, seq_k // block_k, body, (acc, m_i, l_i)
     )
-    o_ref[...] = (acc / l_i[:, :, None]).astype(o_ref.dtype)
+    o_ref[...] = (acc / l_i[:, None, :]).astype(o_ref.dtype)
     # lse stays 2D [bb, bq]: a trailing size-1 dim would pad 128x in HBM
     # (T(8,128) tiling), costing ~400MB/block at DiT-B scale.
     lse_ref[...] = m_i + jnp.log(l_i)
@@ -110,40 +125,47 @@ def _bwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, do_ref,
         dk_ref[...] = jnp.zeros_like(dk_ref[...])
         dv_ref[...] = jnp.zeros_like(dv_ref[...])
 
-    q = q_ref[...].astype(jnp.float32) * scale  # [bb, bq, d]
+    q = q_ref[...].astype(jnp.float32) * scale  # [bb, d, bq]
     do = do_ref[...].astype(jnp.float32)
     o = o_ref[...].astype(jnp.float32)
     lse = lse_ref[...]  # [bb, bq]
-    bb, block_q, d = q.shape
-    delta = jnp.sum(do * o, axis=2)  # rowsum(dO * O) [bb, bq]
+    delta = jnp.sum(do * o, axis=1)  # rowsum over d -> [bb, bq]
+    qt = jnp.swapaxes(q, 1, 2)  # [bb, bq, d]
+    dot = jnp.swapaxes(do, 1, 2)  # [bb, bq, d]
 
     def body(j, dq):
         ks = pl.ds(j * block_k, block_k)
-        k = k_ref[:, ks, :].astype(jnp.float32)
-        v = v_ref[:, ks, :].astype(jnp.float32)
-        s = _bmm(q, k, ((2,), (2,)))
-        p = jnp.exp(s - lse[:, :, None])  # [bb, bq, bk]
-        dp = _bmm(do, v, ((2,), (2,)))
-        ds = p * (dp - delta[:, :, None])
-        # p^T do over bq -> [bb, bk, d]; dK accumulates ds^T q (the q here
-        # already carries one factor of `scale` = dK = scale * ds^T q_raw).
-        # dk/dv refs are bf16 when the q grid is a single block (no true
-        # accumulation) — halves the padded HBM writeback.
-        dv_ref[:, ks, :] += _bmm(p, do, ((1,), (1,))).astype(dv_ref.dtype)
-        dk_ref[:, ks, :] += _bmm(ds, q, ((1,), (1,))).astype(dk_ref.dtype)
-        return dq + _bmm(ds, k, ((2,), (1,)))
+        k = k_ref[:, :, ks].astype(jnp.float32)  # [bb, d, bk]
+        v = v_ref[:, :, ks].astype(jnp.float32)
+        kt = jnp.swapaxes(k, 1, 2)
+        vt = jnp.swapaxes(v, 1, 2)
+        st = _bmm(kt, q, ((2,), (1,)))  # [bb, bk, bq]
+        p = jnp.exp(st - lse[:, None, :])
+        dp = _bmm(vt, do, ((2,), (1,)))  # [bb, bk, bq]
+        ds = p * (dp - delta[:, None, :])
+        # dV^T = P dO^T, dK^T = dS Q^T -> [bb, bk, d], stored d-major (the
+        # q factor already carries `scale` = scale * dS q_raw^T). dk/dv
+        # refs are bf16 when the q grid is a single block (no true
+        # accumulation) — halves the HBM writeback.
+        dvt = _bmm(p, dot, ((2,), (1,)))
+        dkt = _bmm(ds, qt, ((2,), (1,)))
+        dv_ref[:, :, ks] += jnp.swapaxes(dvt, 1, 2).astype(dv_ref.dtype)
+        dk_ref[:, :, ks] += jnp.swapaxes(dkt, 1, 2).astype(dk_ref.dtype)
+        # dQ += K dS (contract bk) -> [bb, d, bq]
+        return dq + _bmm(k, ds, ((2,), (1,)))
 
-    dq = jnp.zeros((bb, block_q, d), jnp.float32)
+    dq = jnp.zeros(q.shape, jnp.float32)
     dq = jax.lax.fori_loop(0, seq_k // block_k, body, dq)
     dq_ref[...] = (dq * scale).astype(dq_ref.dtype)
 
 
 def _pad_q(x, multiple):
-    size = x.shape[1]
+    """Pad the trailing (T) axis of a d-major [bh, d, T] tensor."""
+    size = x.shape[2]
     rem = size % multiple
     if rem == 0:
         return x, size
-    return jnp.pad(x, ((0, 0), (0, multiple - rem), (0, 0))), size
+    return jnp.pad(x, ((0, 0), (0, 0), (0, multiple - rem))), size
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
@@ -153,8 +175,8 @@ def _flash(q, k, v, scale):
 
 
 def _flash_fwd(q, k, v, scale):
-    bh, seq_q, d = q.shape
-    seq_k = k.shape[1]
+    bh, d, seq_q = q.shape
+    seq_k = k.shape[2]
     block_q = min(DEFAULT_BLOCK_Q, seq_q)
     block_k = min(DEFAULT_BLOCK_K, seq_k)
     assert seq_k % block_k == 0, (
@@ -162,7 +184,7 @@ def _flash_fwd(q, k, v, scale):
     )
     block_b, block_q = _pick_blocks(bh, block_q, block_k)
     q_p, orig_q = _pad_q(q, block_q)
-    padded_q = q_p.shape[1]
+    padded_q = q_p.shape[2]
 
     kernel = functools.partial(
         _fwd_kernel, scale=scale, block_k=block_k, seq_k=seq_k
@@ -171,33 +193,33 @@ def _flash_fwd(q, k, v, scale):
         kernel,
         grid=(bh // block_b, padded_q // block_q),
         in_specs=[
-            pl.BlockSpec((block_b, block_q, d), lambda b, i: (b, i, 0),
+            pl.BlockSpec((block_b, d, block_q), lambda b, i: (b, 0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_b, seq_k, d), lambda b, i: (b, 0, 0),
+            pl.BlockSpec((block_b, d, seq_k), lambda b, i: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_b, seq_k, d), lambda b, i: (b, 0, 0),
+            pl.BlockSpec((block_b, d, seq_k), lambda b, i: (b, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((block_b, block_q, d), lambda b, i: (b, i, 0),
+            pl.BlockSpec((block_b, d, block_q), lambda b, i: (b, 0, i),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((block_b, block_q), lambda b, i: (b, i),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((bh, padded_q, d), q.dtype),
+            jax.ShapeDtypeStruct((bh, d, padded_q), q.dtype),
             jax.ShapeDtypeStruct((bh, padded_q), jnp.float32),
         ],
         interpret=_interpret(),
         compiler_params=_COMPILER_PARAMS,
     )(q_p, k, v)
-    return out[:, :orig_q], (q, k, v, out, lse)
+    return out[:, :, :orig_q], (q, k, v, out, lse)
 
 
 def _flash_bwd(scale, res, g):
     q, k, v, out_p, lse = res
-    bh, seq_q, d = q.shape
-    seq_k = k.shape[1]
+    bh, d, seq_q = q.shape
+    seq_k = k.shape[2]
     block_q = min(DEFAULT_BLOCK_Q, seq_q)
     block_k = min(DEFAULT_BLOCK_K, seq_k)
     # The backward holds twice the live tiles (s/p plus dp/ds and the dq/dk/
@@ -206,7 +228,7 @@ def _flash_bwd(scale, res, g):
                                     _SCORE_TILE_BYTES // 2)
     q_p, orig_q = _pad_q(q, block_q)
     g_p, _ = _pad_q(g, block_q)
-    padded_q = q_p.shape[1]
+    padded_q = q_p.shape[2]
     acc_dtype = jnp.float32 if padded_q // block_q > 1 else k.dtype
 
     kernel = functools.partial(
@@ -216,40 +238,40 @@ def _flash_bwd(scale, res, g):
         kernel,
         grid=(bh // block_b, padded_q // block_q),
         in_specs=[
-            pl.BlockSpec((block_b, block_q, d), lambda b, i: (b, i, 0),
+            pl.BlockSpec((block_b, d, block_q), lambda b, i: (b, 0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_b, seq_k, d), lambda b, i: (b, 0, 0),
+            pl.BlockSpec((block_b, d, seq_k), lambda b, i: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_b, seq_k, d), lambda b, i: (b, 0, 0),
+            pl.BlockSpec((block_b, d, seq_k), lambda b, i: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_b, block_q, d), lambda b, i: (b, i, 0),
+            pl.BlockSpec((block_b, d, block_q), lambda b, i: (b, 0, i),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((block_b, block_q), lambda b, i: (b, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_b, block_q, d), lambda b, i: (b, i, 0),
+            pl.BlockSpec((block_b, d, block_q), lambda b, i: (b, 0, i),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((block_b, block_q, d), lambda b, i: (b, i, 0),
+            pl.BlockSpec((block_b, d, block_q), lambda b, i: (b, 0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_b, seq_k, d), lambda b, i: (b, 0, 0),
+            pl.BlockSpec((block_b, d, seq_k), lambda b, i: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_b, seq_k, d), lambda b, i: (b, 0, 0),
+            pl.BlockSpec((block_b, d, seq_k), lambda b, i: (b, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((bh, padded_q, d), q.dtype),
+            jax.ShapeDtypeStruct((bh, d, padded_q), q.dtype),
             # f32 accumulators only when several q blocks truly accumulate;
             # single-block grids write the final value once, so emitting the
-            # input dtype directly halves the padded HBM writeback.
-            jax.ShapeDtypeStruct((bh, seq_k, d), acc_dtype),
-            jax.ShapeDtypeStruct((bh, seq_k, d), acc_dtype),
+            # input dtype directly halves the HBM writeback.
+            jax.ShapeDtypeStruct((bh, d, seq_k), acc_dtype),
+            jax.ShapeDtypeStruct((bh, d, seq_k), acc_dtype),
         ],
         interpret=_interpret(),
         compiler_params=_COMPILER_PARAMS,
     )(q_p, k, v, out_p, lse, g_p)
     return (
-        dq[:, :orig_q].astype(q.dtype),
+        dq[:, :, :orig_q].astype(q.dtype),
         dk.astype(k.dtype),
         dv.astype(v.dtype),
     )
@@ -264,8 +286,9 @@ def flash_attention(q, k, v, scale=None):
     tk = k.shape[1]
     if scale is None:
         scale = 1.0 / math.sqrt(d)
-    qf = q.transpose(0, 2, 1, 3).reshape(b * h, tq, d)
-    kf = k.transpose(0, 2, 1, 3).reshape(b * h, tk, d)
-    vf = v.transpose(0, 2, 1, 3).reshape(b * h, tk, d)
+    # to d-major [B*H, D, T] (zero HBM padding; see module docstring)
+    qf = q.transpose(0, 2, 3, 1).reshape(b * h, d, tq)
+    kf = k.transpose(0, 2, 3, 1).reshape(b * h, d, tk)
+    vf = v.transpose(0, 2, 3, 1).reshape(b * h, d, tk)
     out = _flash(qf, kf, vf, float(scale))
-    return out.reshape(b, h, tq, d).transpose(0, 2, 1, 3)
+    return out.reshape(b, h, d, tq).transpose(0, 3, 1, 2)

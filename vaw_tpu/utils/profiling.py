@@ -16,7 +16,8 @@ from typing import Callable, Dict, Optional
 
 import jax
 
-__all__ = ["trace", "compiled_flops", "estimate_train_flops", "StepTimer"]
+__all__ = ["trace", "compiled_flops", "estimate_train_flops", "StepTimer",
+           "summarize_xplane"]
 
 
 @contextlib.contextmanager
@@ -82,3 +83,66 @@ class StepTimer:
                 "step_ms": dt / self.window * 1000,
             }
         return None
+
+
+def summarize_xplane(xplane_path: str, top: int = 25):
+    """Aggregate a jax.profiler xplane.pb into per-category / per-op device
+    time. Returns {"categories": {...}, "ops": [(name, ms), ...],
+    "busy_ms": float, "span_ms": float} with times in ms summed over the
+    traced window. Parsing uses TF's xplane proto when available.
+
+    Reads the "XLA Ops" line (true per-op busy time, hlo_category/tf_op
+    stats); "Async XLA Ops" durations overlap compute and are excluded.
+    """
+    from collections import Counter
+
+    from tensorflow.tsl.profiler.protobuf import xplane_pb2  # noqa: PLC0415
+
+    xs = xplane_pb2.XSpace()
+    with open(xplane_path, "rb") as f:
+        xs.ParseFromString(f.read())
+    result = {"categories": {}, "ops": [], "busy_ms": 0.0, "span_ms": 0.0}
+    for plane in xs.planes:
+        if "TPU" not in plane.name:
+            continue
+        smeta = {k: v.name for k, v in plane.stat_metadata.items()}
+        bycat: Counter = Counter()
+        byop: Counter = Counter()
+        for line in plane.lines:
+            if line.name != "XLA Ops":
+                continue
+            events = sorted(line.events, key=lambda e: e.offset_ps)
+            if not events:
+                continue
+            result["span_ms"] = (
+                events[-1].offset_ps + events[-1].duration_ps
+                - events[0].offset_ps
+            ) / 1e9
+            merged = 0
+            cur_s = cur_e = None
+            for ev in events:
+                s, e = ev.offset_ps, ev.offset_ps + ev.duration_ps
+                if cur_e is None:
+                    cur_s, cur_e = s, e
+                elif s <= cur_e:
+                    cur_e = max(cur_e, e)
+                else:
+                    merged += cur_e - cur_s
+                    cur_s, cur_e = s, e
+                md = plane.event_metadata[ev.metadata_id]
+                cat = prov = None
+                for st in list(ev.stats) + list(md.stats):
+                    name = smeta.get(st.metadata_id, "")
+                    val = st.str_value or smeta.get(st.ref_value, "")
+                    if name == "hlo_category":
+                        cat = val
+                    if name == "tf_op":
+                        prov = val
+                bycat[cat or "?"] += ev.duration_ps / 1e9
+                byop[prov or md.name] += ev.duration_ps / 1e9
+            if cur_e is not None:
+                merged += cur_e - cur_s
+            result["busy_ms"] = merged / 1e9
+        result["categories"] = dict(bycat.most_common())
+        result["ops"] = byop.most_common(top)
+    return result
