@@ -15,3 +15,11 @@ python main.py --train True --eval True --dataset Latent --data_dir ./data/image
 
 # DiT-XL/2
 # python main.py ... --model DiT-XL (same flags as above)
+
+# Scaling variants (TPU extensions; all compose with the recipes above):
+#   --fsdp True                ZeRO-3 param/opt-state sharding over 'data'
+#   --model_axis 2             Megatron-style tensor parallelism (2D mesh)
+#   --use_checkpoint True      gradient rematerialization (big batch / model)
+#   --scan_blocks True         O(1)-compile scanned DiT blocks
+#   --async_checkpoint True    non-blocking Orbax checkpoint writes
+#   --time_sampler loss-second-moment   loss-aware timestep importance sampling
