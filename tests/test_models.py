@@ -133,3 +133,25 @@ def test_bf16_compute_dtype():
     leaf = jax.tree_util.tree_leaves(variables["params"])[0]
     assert leaf.dtype == jnp.float32
     assert out.dtype == jnp.float32
+
+
+def test_groupnorm32_bf16_matches_f32_reference():
+    """bf16 GroupNorm with f32 statistics must track the full-f32 result
+    within bf16 output precision (the reference computes wholly in f32,
+    tools/nn.py:16-19)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from vaw_tpu.models.layers import GroupNorm32
+
+    rs = np.random.RandomState(0)
+    x = (rs.randn(2, 8, 8, 64) * 50.0).astype(np.float32)  # large scale
+    gn = GroupNorm32(num_groups=32)
+    params = gn.init(jax.random.key(0), jnp.asarray(x))
+    out_f32 = gn.apply(params, jnp.asarray(x, jnp.float32))
+    out_bf16 = gn.apply(params, jnp.asarray(x, jnp.bfloat16))
+    np.testing.assert_allclose(
+        np.asarray(out_bf16, np.float32), np.asarray(out_f32),
+        atol=0.05, rtol=0.05,
+    )
