@@ -1,4 +1,6 @@
 """Compare attention implementations fwd+bwd on the real TPU at DiT-B shape."""
+import sys, os
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import time
 
 import numpy as np

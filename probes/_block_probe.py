@@ -1,4 +1,6 @@
 """Full DiTBlock fwd+bwd probe: qkv split/layout variants on the real TPU."""
+import sys, os
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import functools
 import time
 

@@ -1,4 +1,6 @@
 import time, jax, jax.numpy as jnp, numpy as np
+import sys, os
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from vaw_tpu.models.dit import DiT_B
 
 def timed(f, *args, n=15):

@@ -1,4 +1,6 @@
 """Try jax.profiler trace capture through the axon tunnel on the bench step."""
+import sys, os
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import glob
 import os
 import time

@@ -1,4 +1,6 @@
 """EDM sampler throughput (BASELINE.md target 2): 18-step Heun, DiT-B/2."""
+import sys, os
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import time
 
 import numpy as np

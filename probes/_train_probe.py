@@ -1,4 +1,6 @@
 """Train-step throughput sweep: DiT-B/2 at several batch sizes + ADM-64 UNet.
+import sys, os
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 Readback-closed timing (axon: block_until_ready returns early)."""
 import sys

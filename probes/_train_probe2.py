@@ -1,4 +1,6 @@
 """Post-d-major sweep: DiT-B/2 batches 128/256, ADM-64 remat batch 128."""
+import sys, os
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import time
 
 import numpy as np

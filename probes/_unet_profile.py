@@ -1,4 +1,6 @@
 """Profile ADM-64 UNet train step on the real TPU."""
+import sys, os
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import glob
 import os
 

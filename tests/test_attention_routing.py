@@ -17,14 +17,52 @@ def _qkv(b=2, t=256, h=2, d=64, seed=0):
 def test_flash_eligibility_gate():
     q, k, v = _qkv(t=256)
     assert _flash_eligible(q, k)
-    # ViT's 1026 tokens (cls+time) are not block-divisible -> XLA path
-    q2, k2, v2 = _qkv(t=1026 - 770)  # any non-divisible, fast to build
+    # ViT's 1026 tokens (cls+time): padded + masked inside the kernel
     q2 = jnp.zeros((2, 1026, 2, 64))
-    k2 = jnp.zeros((2, 1026, 2, 64))
-    assert not _flash_eligible(q2, k2)
-    # unaligned head_dim -> XLA path
+    assert _flash_eligible(q2, q2)
+    # DiT-XL's head_dim 72 is sublane-aligned (72 % 8 == 0)
     q3 = jnp.zeros((2, 256, 2, 72))
-    assert not _flash_eligible(q3, q3)
+    assert _flash_eligible(q3, q3)
+    # non-sublane-aligned head dims and very long K fall back to XLA
+    q4 = jnp.zeros((2, 256, 2, 60))
+    assert not _flash_eligible(q4, q4)
+    q5 = jnp.zeros((2, 8192, 2, 64))
+    assert not _flash_eligible(q5, q5)
+
+
+def test_flash_masked_tail_matches_xla():
+    """Non-divisible K sequence (1026-style): the padded+masked kernel must
+    match full attention."""
+    rs = np.random.RandomState(3)
+    t = 300  # pads to 512 with block_k 256... (min(256,300)=256 -> 512)
+    q = jnp.asarray(rs.randn(2, t, 2, 64), jnp.float32)
+    k = jnp.asarray(rs.randn(2, t, 2, 64), jnp.float32)
+    v = jnp.asarray(rs.randn(2, t, 2, 64), jnp.float32)
+    a = multi_head_attention(q, k, v, use_pallas=False)
+    b = multi_head_attention(q, k, v, use_pallas=True)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=2e-3, atol=2e-3)
+
+
+def test_flash_masked_tail_gradients_match_xla():
+    rs = np.random.RandomState(4)
+    t = 130
+    q = jnp.asarray(rs.randn(2, t, 2, 64), jnp.float32)
+    k = jnp.asarray(rs.randn(2, t, 2, 64), jnp.float32)
+    v = jnp.asarray(rs.randn(2, t, 2, 64), jnp.float32)
+
+    def loss(fn_flag):
+        def f(q, k, v):
+            return jnp.sum(
+                multi_head_attention(q, k, v, use_pallas=fn_flag) ** 2
+            )
+        return f
+
+    ga = jax.grad(loss(False), argnums=(0, 1, 2))(q, k, v)
+    gb = jax.grad(loss(True), argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(ga, gb):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-3, atol=5e-3)
 
 
 def test_router_explicit_pallas_matches_xla():

@@ -30,13 +30,12 @@ _FLASH_MIN_SEQ = 256
 
 
 def _flash_eligible(q, k) -> bool:
-    """Shapes the Pallas kernel compiles efficiently for: K-sequence
-    divisible by its block, lane-aligned head_dim, MXU-aligned Q tiles."""
-    from .flash_attention import DEFAULT_BLOCK_K
-
+    """Shapes the Pallas kernel compiles efficiently for. The d-major
+    kernels put head_dim on sublanes (multiple of 8) and pad+mask
+    non-divisible K sequences, so the only real limits are head size and
+    the resident K/V VMEM footprint at very long sequences."""
     seq_k, d = k.shape[1], k.shape[-1]
-    block_k = min(DEFAULT_BLOCK_K, seq_k)
-    return seq_k % block_k == 0 and d % 64 == 0 and q.shape[1] % 8 == 0
+    return d % 8 == 0 and d <= 256 and seq_k <= 4096
 
 
 def _xla_attention(q, k, v, scale):

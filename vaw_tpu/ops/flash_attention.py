@@ -80,7 +80,7 @@ def _bmm(a, b, contract, batch=((0,), (0,))):
 
 
 def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale, block_k,
-                seq_k):
+                seq_k, valid_k):
     """Scores are computed TRANSPOSED, st = K^T Q in [bb, bk, bq]: with
     d-major operands this gives every dot_general classic MXU shapes (lhs
     contracting on lanes, rhs on sublanes) — a sublane-contracted batched
@@ -96,6 +96,11 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale, block_k,
         v = v_ref[:, :, ks].astype(jnp.float32)
         kt = jnp.swapaxes(k, 1, 2)  # [bb, bk, d]
         st = _bmm(kt, q, ((2,), (1,)))  # [bb, bk, bq]
+        if valid_k != seq_k:  # static: K was padded; mask the tail rows
+            kidx = j * block_k + jax.lax.broadcasted_iota(
+                jnp.int32, st.shape, 1
+            )
+            st = jnp.where(kidx < valid_k, st, -1e30)
         m_new = jnp.maximum(m_i, jnp.max(st, axis=1))
         alpha = jnp.exp(m_i - m_new)
         p = jnp.exp(st - m_new[:, None, :])
@@ -117,7 +122,7 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale, block_k,
 
 
 def _bwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, do_ref,
-                dq_ref, dk_ref, dv_ref, *, scale, block_k, seq_k):
+                dq_ref, dk_ref, dv_ref, *, scale, block_k, seq_k, valid_k):
     i = pl.program_id(1)
 
     @pl.when(i == 0)
@@ -140,6 +145,11 @@ def _bwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, do_ref,
         kt = jnp.swapaxes(k, 1, 2)
         vt = jnp.swapaxes(v, 1, 2)
         st = _bmm(kt, q, ((2,), (1,)))  # [bb, bk, bq]
+        if valid_k != seq_k:  # static: zero the padded K rows' probabilities
+            kidx = j * block_k + jax.lax.broadcasted_iota(
+                jnp.int32, st.shape, 1
+            )
+            st = jnp.where(kidx < valid_k, st, -1e30)
         p = jnp.exp(st - lse[:, None, :])
         dp = _bmm(vt, do, ((2,), (1,)))  # [bb, bk, bq]
         ds = p * (dp - delta[:, None, :])
@@ -176,18 +186,22 @@ def _flash(q, k, v, scale):
 
 def _flash_fwd(q, k, v, scale):
     bh, d, seq_q = q.shape
+    k_orig, v_orig = k, v
+    valid_k = k.shape[2]
+    block_k = min(DEFAULT_BLOCK_K, valid_k)
+    # Non-divisible K sequences (e.g. ViT's 1026 cls+time tokens) are padded
+    # to the block size; the kernels mask the padded rows' scores to -inf.
+    k, _ = _pad_q(k, block_k)
+    v, _ = _pad_q(v, block_k)
     seq_k = k.shape[2]
     block_q = min(DEFAULT_BLOCK_Q, seq_q)
-    block_k = min(DEFAULT_BLOCK_K, seq_k)
-    assert seq_k % block_k == 0, (
-        f"flash_attention requires seq_k divisible by {block_k}; got {seq_k}"
-    )
     block_b, block_q = _pick_blocks(bh, block_q, block_k)
     q_p, orig_q = _pad_q(q, block_q)
     padded_q = q_p.shape[2]
 
     kernel = functools.partial(
-        _fwd_kernel, scale=scale, block_k=block_k, seq_k=seq_k
+        _fwd_kernel, scale=scale, block_k=block_k, seq_k=seq_k,
+        valid_k=valid_k,
     )
     out, lse = pl.pallas_call(
         kernel,
@@ -213,15 +227,19 @@ def _flash_fwd(q, k, v, scale):
         interpret=_interpret(),
         compiler_params=_COMPILER_PARAMS,
     )(q_p, k, v)
-    return out[:, :, :orig_q], (q, k, v, out, lse)
+    # residuals keep the UNPADDED k/v (the bwd wrapper re-pads).
+    return out[:, :, :orig_q], (q, k_orig, v_orig, out, lse)
 
 
 def _flash_bwd(scale, res, g):
     q, k, v, out_p, lse = res
     bh, d, seq_q = q.shape
+    valid_k = k.shape[2]
+    block_k = min(DEFAULT_BLOCK_K, valid_k)
+    k, _ = _pad_q(k, block_k)
+    v, _ = _pad_q(v, block_k)
     seq_k = k.shape[2]
     block_q = min(DEFAULT_BLOCK_Q, seq_q)
-    block_k = min(DEFAULT_BLOCK_K, seq_k)
     # The backward holds twice the live tiles (s/p plus dp/ds and the dq/dk/
     # dv accumulators), so it gets half the forward's score-tile budget.
     block_b, block_q = _pick_blocks(bh, block_q, block_k,
@@ -232,7 +250,8 @@ def _flash_bwd(scale, res, g):
     acc_dtype = jnp.float32 if padded_q // block_q > 1 else k.dtype
 
     kernel = functools.partial(
-        _bwd_kernel, scale=scale, block_k=block_k, seq_k=seq_k
+        _bwd_kernel, scale=scale, block_k=block_k, seq_k=seq_k,
+        valid_k=valid_k,
     )
     dq, dk, dv = pl.pallas_call(
         kernel,
@@ -272,8 +291,8 @@ def _flash_bwd(scale, res, g):
     )(q_p, k, v, out_p, lse, g_p)
     return (
         dq[:, :, :orig_q].astype(q.dtype),
-        dk.astype(k.dtype),
-        dv.astype(v.dtype),
+        dk[:, :, :valid_k].astype(k.dtype),
+        dv[:, :, :valid_k].astype(v.dtype),
     )
 
 
