@@ -13,7 +13,6 @@ by sequence length.
 
 from __future__ import annotations
 
-import functools
 import math
 from typing import Optional
 

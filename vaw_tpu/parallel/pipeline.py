@@ -15,7 +15,6 @@ the transposed ppermute).
 
 from __future__ import annotations
 
-import functools
 from typing import Callable
 
 import jax

@@ -16,7 +16,6 @@ hop), fully overlappable with the chunk matmuls on real meshes.
 
 from __future__ import annotations
 
-import functools
 import math
 from typing import Optional
 
