@@ -72,9 +72,13 @@ def multi_head_attention(
     if use_pallas is None:
         # Default routing targets real TPUs (compiled Mosaic); on CPU the
         # interpreter is only for explicit correctness tests.
+        # VAW_DISABLE_FLASH=1 is the operational kill-switch.
+        import os
+
         on_tpu = jax.devices()[0].platform in ("tpu", "axon")
         use_pallas = (on_tpu and seq >= _FLASH_MIN_SEQ
-                      and _flash_eligible(q, k))
+                      and _flash_eligible(q, k)
+                      and not os.environ.get("VAW_DISABLE_FLASH"))
     if use_pallas:
         from .flash_attention import flash_attention
 

@@ -222,7 +222,11 @@ def _add_common_args(p: argparse.ArgumentParser, defaults: dict):
     p.add_argument("--align_type", type=str, default=d.align_type,
                    choices=["cosine", "nt_xent", "mse_l2", "mse"])
     p.add_argument("--enc-type", dest="enc_type", type=str, default=d.enc_type)
-    p.add_argument("--encoder_depth", type=int, default=d.encoder_depth)
+    # the reference spells this --encoder_depth in main.py but
+    # --encoder-depth in sample.py (sample.py:56); accept both.
+    p.add_argument("--encoder_depth", "--encoder-depth",
+                   dest="encoder_depth", type=int,
+                   default=d.encoder_depth)
     p.add_argument("--z_dims", type=int, default=d.z_dims)
     p.add_argument("--lr", type=float, default=d.lr)
     p.add_argument("--betas", type=float, nargs=2, default=list(d.betas))
