@@ -31,6 +31,7 @@ __all__ = [
     "LatentWithPixelDataset",
     "load_dataset",
     "BatchLoader",
+    "SlabShuffleLoader",
 ]
 
 
@@ -250,6 +251,15 @@ class LatentDataset:
         lat = np.transpose(lat, (0, 2, 3, 1)).astype(np.float32)  # CHW->HWC
         return {"image": lat, "label": lab.astype(np.int32)}
 
+    def get_slab(self, start: int, end: int) -> Dict[str, np.ndarray]:
+        """Contiguous range read — HDF5 point selection costs one chunk
+        lookup per index, ~10x slower than a slab read at batch sizes."""
+        lat = np.transpose(
+            self.latents[start:end], (0, 2, 3, 1)
+        ).astype(np.float32)
+        return {"image": lat,
+                "label": self.labels[start:end].astype(np.int32)}
+
 
 class LatentWithPixelDataset(LatentDataset):
     """Latent + uint8 pixels + label, for REPA teacher features
@@ -269,6 +279,63 @@ class LatentWithPixelDataset(LatentDataset):
 # ------------------------------------------------------------------- #
 # batch loader
 # ------------------------------------------------------------------- #
+
+
+class SlabShuffleLoader:
+    """Two-stage shuffle for datasets with fast contiguous reads (HDF5
+    latents): shuffle SLAB order across the file, read each ~slab_size-item
+    slab sequentially, shuffle within the slab, emit whole batches (carrying
+    remainders into the next slab). Random-access point selection in h5py
+    costs one chunk lookup per item (~1.6k imgs/s measured); slab reads keep
+    the pipeline >10x ahead of the TPU step. The standard tf.data-style
+    trade: shuffle radius ~ slab_size instead of the full epoch."""
+
+    def __init__(self, dataset, batch_size: int, slab_size: int = 8192,
+                 shuffle=True, seed=0, drop_last=True):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.slab_size = max(slab_size, batch_size)
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.seed = seed
+        self.epoch = 0
+
+    def __len__(self):
+        n = len(self.dataset)
+        return n // self.batch_size if self.drop_last else math.ceil(
+            n / self.batch_size
+        )
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        n = len(self.dataset)
+        starts = list(range(0, n, self.slab_size))
+        rs = np.random.RandomState(self.seed + self.epoch)
+        self.epoch += 1
+        if self.shuffle:
+            rs.shuffle(starts)
+        carry: Optional[Dict[str, np.ndarray]] = None
+        for s in starts:
+            slab = self.dataset.get_slab(s, min(s + self.slab_size, n))
+            if carry is not None:
+                slab = {k: np.concatenate([carry[k], slab[k]])
+                        for k in slab}
+                carry = None
+            size = len(next(iter(slab.values())))
+            if self.shuffle:
+                perm = rs.permutation(size)
+                slab = {k: v[perm] for k, v in slab.items()}
+            full = size - size % self.batch_size
+            for i in range(0, full, self.batch_size):
+                yield {k: v[i: i + self.batch_size]
+                       for k, v in slab.items()}
+            if full < size:
+                carry = {k: v[full:] for k, v in slab.items()}
+        if carry is not None and not self.drop_last:
+            yield carry
+
+    def forever(self):
+        while True:
+            yield from self
 
 
 class BatchLoader:
@@ -342,7 +409,11 @@ def load_dataset(data_dir: str, dataset: str, batch_size: int,
         test = LatentWithPixelDataset(path, "train")
     else:
         raise ValueError(f"Unsupported dataset: {dataset}")
+    # Latent HDF5 datasets stream fastest via slab-sequential reads.
+    train_cls = (
+        SlabShuffleLoader if hasattr(train, "get_slab") else BatchLoader
+    )
     return (
-        BatchLoader(train, batch_size, shuffle=shuffle, seed=seed),
+        train_cls(train, batch_size, shuffle=shuffle, seed=seed),
         BatchLoader(test, batch_size, shuffle=False, seed=seed),
     )

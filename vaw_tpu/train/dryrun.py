@@ -88,6 +88,47 @@ def dryrun_multichip(n_devices: int) -> None:
             losses[label] = loss
     # Both regimes compute the same math; shardings must not change it.
     assert abs(losses["dp+tp"] - losses["dp+tp+fsdp"]) < 1e-3, losses
+
+    # Pipeline parallelism: a stage mesh over the same devices, GPipe
+    # microbatching through a toy block stack, forward + backward.
+    pp_loss = _dryrun_pipeline(devices)
     print(f"dryrun_multichip({n_devices}): mesh="
           f"{dict(zip(mesh.axis_names, mesh.devices.shape))} "
-          f"losses={losses} OK")
+          f"losses={losses} pp_loss={pp_loss:.4f} OK")
+
+
+def _dryrun_pipeline(devices) -> float:
+    """4-stage (or 2-stage) GPipe pipeline over 'stage' with gradients."""
+    from jax.sharding import Mesh
+
+    from ..parallel.pipeline import pipeline, stack_stage_params
+
+    stages = 4 if len(devices) >= 4 else 2
+    mesh = Mesh(np.array(devices[:stages]), ("stage",))
+    rs = np.random.RandomState(0)
+    dim, depth, batch = 16, stages * 2, 8
+    blocks = [
+        {"w": jnp.asarray(rs.randn(dim, dim) * 0.3, jnp.float32),
+         "b": jnp.asarray(rs.randn(dim) * 0.1, jnp.float32)}
+        for _ in range(depth)
+    ]
+    stage_params = stack_stage_params(blocks, stages)
+    x = jnp.asarray(rs.randn(batch, dim), jnp.float32)
+    aux = jnp.zeros((batch, dim), jnp.float32)
+
+    def block_fn(p, h, a):
+        return jnp.tanh(h @ p["w"] + p["b"] + a)
+
+    piped = pipeline(block_fn, mesh, num_microbatches=4)
+
+    def loss_fn(sp):
+        return jnp.mean(piped(sp, x, aux) ** 2)
+
+    loss, grads = jax.jit(jax.value_and_grad(loss_fn))(stage_params)
+    jax.block_until_ready(grads)
+    assert np.isfinite(float(loss))
+    assert all(
+        np.isfinite(np.asarray(g)).all()
+        for g in jax.tree_util.tree_leaves(grads)
+    )
+    return float(loss)
