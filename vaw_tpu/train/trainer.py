@@ -262,6 +262,8 @@ class Trainer:
             (loss, metrics), grads = grad_fn(
                 state.params, batch, rng, state.resampler
             )
+            ts_aux = metrics.pop("_t", None)
+            loss_aux = metrics.pop("_per_sample_loss", None)
         else:
             # Micro-batch scan (replaces DDP no_sync accumulation,
             # reference tools/trainer.py:94-103). Leading axis: [accum, B/accum].
@@ -276,25 +278,27 @@ class Trainer:
                     state.params, mb, jax.random.fold_in(rng, i),
                     state.resampler,
                 )
+                # per-sample aux arrays are STACKED (scan outputs), not
+                # summed — they feed the loss-aware timestep resampler.
+                aux = (metrics.pop("_t", None),
+                       metrics.pop("_per_sample_loss", None))
                 acc_grads, acc_loss, acc_metrics = carry
                 acc_grads = jax.tree_util.tree_map(jnp.add, acc_grads, grads)
                 acc_loss = acc_loss + loss
                 acc_metrics = jax.tree_util.tree_map(
                     jnp.add, acc_metrics, metrics
                 )
-                return (acc_grads, acc_loss, acc_metrics), None
+                return (acc_grads, acc_loss, acc_metrics), aux
 
-            zero_grads = jax.tree_util.tree_map(
-                jnp.zeros_like, state.params
-            )
             (l0, m0), g0 = grad_fn(
                 state.params,
                 jax.tree_util.tree_map(lambda x: x[0], micro),
                 jax.random.fold_in(rng, 0),
                 state.resampler,
             )
+            aux0 = (m0.pop("_t", None), m0.pop("_per_sample_loss", None))
             rest = jax.tree_util.tree_map(lambda x: x[1:], micro)
-            (grads, loss, metrics), _ = jax.lax.scan(
+            (grads, loss, metrics), aux_rest = jax.lax.scan(
                 body, (g0, l0, m0),
                 (jnp.arange(1, accum), rest),
             )
@@ -302,17 +306,24 @@ class Trainer:
             grads = jax.tree_util.tree_map(lambda g: g * inv, grads)
             loss = loss * inv
             metrics = jax.tree_util.tree_map(lambda m: m * inv, metrics)
+            if aux0[0] is not None:
+                ts_aux = jnp.concatenate(
+                    [aux0[0][None], aux_rest[0]]
+                ).reshape(-1)
+                loss_aux = jnp.concatenate(
+                    [aux0[1][None], aux_rest[1]]
+                ).reshape(-1)
+            else:
+                ts_aux = loss_aux = None
 
         # Fold this batch's per-timestep losses into the resampler history
         # (replaces update_with_local_losses + all_gather,
         # reference tools/resample.py:71-112 — SPMD computes identical
-        # updates on every chip). With grad accumulation the aux arrays were
-        # summed across micro-batches, so the update uses accum == 1 only.
-        ts_aux = metrics.pop("_t", None)
-        loss_aux = metrics.pop("_per_sample_loss", None)
+        # updates on every chip). Under grad accumulation the per-microbatch
+        # (t, loss) pairs are stacked by the scan and folded in together.
         new_resampler = state.resampler
         if (self.resampler is not None and state.resampler is not None
-                and accum == 1):
+                and ts_aux is not None):
             new_resampler = self.resampler.update(
                 state.resampler, ts_aux, loss_aux
             )
