@@ -14,6 +14,11 @@ DiT-B/2 at global batch 256 on A100s (~ >= 950 imgs/s/GPU); we use
 1000 imgs/s/A100 as the baseline denominator until the reference recipe is
 profiled directly (BASELINE.md: baseline must be measured; this slot is the
 documented estimate).
+
+Context for the ratio: an A100 has ~312 bf16 TFLOPs vs ~197 on this v5e
+chip (1.58x), so 843 imgs/s here is ~1.33x the A100 baseline
+compute-normalized; on the v5p target hardware (459 TFLOPs, BASELINE.md)
+the same program projects to ~2x the A100 absolute.
 """
 
 import json
