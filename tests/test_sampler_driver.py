@@ -81,3 +81,44 @@ def test_sampler_vae_decode_hook():
     assert samples.shape == (2, 8, 8, 3)
     # uint8 of zeros -> 127 ((0+1)*127.5 clipped)
     assert int(samples.max()) in (127, 128)
+
+
+def test_params_argument_matches_closure_path():
+    """Sampler(params=...) threads weights through the jit as arguments
+    (remote/AOT-compile safe); it must generate exactly what the legacy
+    closure construction generates."""
+    import jax
+    import numpy as np
+
+    from vaw_tpu.core import (
+        GaussianDiffusion, get_named_beta_schedule, make_schedule,
+    )
+    from vaw_tpu.models.dit import DiT
+    from vaw_tpu.samplers.driver import Sampler
+    from vaw_tpu.utils.config import TrainConfig
+
+    cfg = TrainConfig(model="DiT-S", image_size=8, in_chans=3, patch_size=4,
+                      num_classes=0, class_cond=False, solver="ddim",
+                      sample_steps=4, diffusion_steps=20)
+    model = DiT(image_size=8, patch_size=4, in_channels=3, hidden_size=32,
+                depth=1, num_heads=2, num_classes=0, class_dropout_prob=0.0)
+    import jax.numpy as jnp
+
+    x = jnp.zeros((2, 8, 8, 3))
+    variables = model.init(jax.random.key(0), x, jnp.zeros((2,)))
+    sched = make_schedule(get_named_beta_schedule("linear", 20))
+    diffusion = GaussianDiffusion(schedule=sched)
+
+    def closure_fn(x, t, **kw):
+        out, _ = model.apply(variables, x, t, **kw)
+        return out
+
+    def param_fn(p, x, t, **kw):
+        out, _ = model.apply(p, x, t, **kw)
+        return out
+
+    a, _ = Sampler(cfg, closure_fn, diffusion=diffusion).sample(
+        jax.random.key(1), 4, 4, 8, 0)
+    b, _ = Sampler(cfg, param_fn, diffusion=diffusion,
+                   params=variables).sample(jax.random.key(1), 4, 4, 8, 0)
+    np.testing.assert_array_equal(a, b)
