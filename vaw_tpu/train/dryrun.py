@@ -28,12 +28,11 @@ def dryrun_multichip(n_devices: int) -> None:
     """Build an n-device ('data','model') mesh, jit the full training step
     (q_sample -> weighting -> DiT fwd/bwd -> AdamW -> EMA) with real dp+tp
     shardings, and execute ONE step on tiny shapes."""
-    devices = jax.devices()
-    if len(devices) < n_devices:
-        # Driver environments pin the default platform to the real chip(s);
-        # the virtual xla_force_host_platform_device_count devices live on
-        # the coexisting 'cpu' backend — run the dry run there.
-        devices = jax.devices("cpu")
+    # Always run on the CPU backend: the dryrun validates SPMD logic on
+    # virtual devices and must never touch a real chip (a wedged libtpu
+    # would otherwise kill it). __graft_entry__ pins jax_platforms=cpu
+    # before backend init; this is the in-library guarantee.
+    devices = jax.devices("cpu")
     devices = devices[:n_devices]
     assert len(devices) == n_devices, (
         f"need {n_devices} devices, have {len(devices)}"
@@ -62,36 +61,49 @@ def dryrun_multichip(n_devices: int) -> None:
         weight_type=cfg.weight_type,
     )
 
-    batch = {
-        "image": jnp.asarray(
-            np.random.RandomState(0).randn(
-                cfg.batch_size, cfg.image_size, cfg.image_size, 4
-            ), jnp.float32,
-        ),
-        "label": jnp.arange(cfg.batch_size) % 10,
+    # default_device pins every uncommitted array (batch, rng keys, host
+    # scalars) to CPU — without it jnp.asarray would initialize + commit to
+    # the default backend, breaking hermeticity when a real chip coexists.
+    with jax.default_device(devices[0]):
+        batch = {
+            "image": jnp.asarray(
+                np.random.RandomState(0).randn(
+                    cfg.batch_size, cfg.image_size, cfg.image_size, 4
+                ), jnp.float32,
+            ),
+            "label": jnp.arange(cfg.batch_size) % 10,
+        }
+
+        losses = {}
+        # Two sharding regimes over the same mesh: dp x tp with replicated
+        # state, and dp x tp with ZeRO-3 param/opt-state sharding (fsdp).
+        for label, fsdp in (("dp+tp", False), ("dp+tp+fsdp", True)):
+            run_cfg = replace(cfg, fsdp=fsdp)
+            with mesh:
+                trainer = Trainer(run_cfg, model, process, mesh)
+                state = trainer.init_state(jax.random.key(0), batch)
+                sharded = shard_batch(mesh, batch)
+                state, metrics = trainer.step(state, sharded)
+                jax.block_until_ready(metrics["loss"])
+                loss = float(metrics["loss"])
+                assert np.isfinite(loss), (label, loss)
+                assert int(state.step) == 1
+                losses[label] = loss
+        # Both regimes compute the same math; shardings must not change it.
+        assert abs(losses["dp+tp"] - losses["dp+tp+fsdp"]) < 1e-3, losses
+
+        # Pipeline parallelism: a stage mesh over the same devices, GPipe
+        # microbatching through a toy block stack, forward + backward.
+        pp_loss = _dryrun_pipeline(devices)
+
+    # Hermeticity check: no live buffer may have landed off-CPU.
+    non_cpu = {
+        d.platform
+        for buf in jax.live_arrays()
+        for d in buf.devices()
+        if d.platform != "cpu"
     }
-
-    losses = {}
-    # Two sharding regimes over the same mesh: dp x tp with replicated
-    # state, and dp x tp with ZeRO-3 param/opt-state sharding (fsdp).
-    for label, fsdp in (("dp+tp", False), ("dp+tp+fsdp", True)):
-        run_cfg = replace(cfg, fsdp=fsdp)
-        with mesh:
-            trainer = Trainer(run_cfg, model, process, mesh)
-            state = trainer.init_state(jax.random.key(0), batch)
-            sharded = shard_batch(mesh, batch)
-            state, metrics = trainer.step(state, sharded)
-            jax.block_until_ready(metrics["loss"])
-            loss = float(metrics["loss"])
-            assert np.isfinite(loss), (label, loss)
-            assert int(state.step) == 1
-            losses[label] = loss
-    # Both regimes compute the same math; shardings must not change it.
-    assert abs(losses["dp+tp"] - losses["dp+tp+fsdp"]) < 1e-3, losses
-
-    # Pipeline parallelism: a stage mesh over the same devices, GPipe
-    # microbatching through a toy block stack, forward + backward.
-    pp_loss = _dryrun_pipeline(devices)
+    assert not non_cpu, f"dryrun leaked buffers to non-CPU backends: {non_cpu}"
     print(f"dryrun_multichip({n_devices}): mesh="
           f"{dict(zip(mesh.axis_names, mesh.devices.shape))} "
           f"losses={losses} pp_loss={pp_loss:.4f} OK")
