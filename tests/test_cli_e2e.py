@@ -12,6 +12,7 @@ import pytest
 from vaw_tpu.cli.main import init, parse_args, train
 
 
+@pytest.mark.slow
 def test_cli_end_to_end_tiny(tmp_path):
     cfg = parse_args([
         "--dataset", "Gaussian", "--model", "DiT-S", "--image_size", "8",
@@ -39,6 +40,7 @@ def test_cli_end_to_end_tiny(tmp_path):
     assert int(restored.step) == 3
 
 
+@pytest.mark.slow
 def test_cli_edm_sampler_path(tmp_path):
     """EDM (heun) sampling path through the driver."""
     cfg = parse_args([

@@ -36,6 +36,7 @@ def _make_image_folder(root, n_per_class=3, size=32):
                 ).save(d / f"{i}.png")
 
 
+@pytest.mark.slow
 def test_latent_pipeline_roundtrip(tmp_path, monkeypatch):
     """Folder -> encode_latents (random-init VAE, no pretrained weights
     needed) -> HDF5 -> LatentDataset -> latent train step."""
@@ -89,6 +90,7 @@ def test_latent_pipeline_roundtrip(tmp_path, monkeypatch):
     assert np.isfinite(float(metrics["loss"]))
 
 
+@pytest.mark.slow
 def test_classifier_guided_ddim():
     """Classifier gradient guidance through the scanned DDIM loop
     (reference path: tools/sampler.py:117-149 with Classifier.cond_fn)."""

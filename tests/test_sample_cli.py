@@ -5,10 +5,13 @@ subdirectories when conditional — reference: sample.py:155-182)."""
 import glob
 import os
 
+import pytest
+
 from vaw_tpu.cli.main import init, parse_args, train
 from vaw_tpu.cli.sample import main as sample_main
 
 
+@pytest.mark.slow
 def test_sample_cli_end_to_end(tmp_path):
     logdir = str(tmp_path / "train")
     cfg = parse_args([

@@ -103,6 +103,7 @@ def test_grad_accumulation_matches_big_batch():
     assert int(state.step) == 1
 
 
+@pytest.mark.slow
 def test_multichip_dryrun_8_devices():
     """Full dp x tp train step on the virtual 8-device CPU mesh (SURVEY.md
     section 4 item (d))."""

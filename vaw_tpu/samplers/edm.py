@@ -163,7 +163,11 @@ def build_edm_plan(
         )
         sigma_steps = np.sqrt(orig_t)
     elif discretization == "iddpm":
-        u_filtered = u[(u >= sigma_min) & (u <= sigma_max)]
+        # The reference rebuilds this ladder with the COSINE alpha_bar
+        # regardless of the Net's noise_schedule (tools/cfg_edm.py:150-155);
+        # only round_sigma/c_noise use the schedule-dependent `u`.
+        u_iddpm = edm_sigma_ladder("cosine", M=M, C_1=C_1, C_2=C_2)
+        u_filtered = u_iddpm[(u_iddpm >= sigma_min) & (u_iddpm <= sigma_max)]
         pick = np.rint(
             (len(u_filtered) - 1) / (num_steps - 1) * idx
         ).astype(np.int64)
