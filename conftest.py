@@ -15,5 +15,6 @@ try:
     import jax
 
     jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_default_matmul_precision", "highest")
 except Exception:
     pass

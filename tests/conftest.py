@@ -19,3 +19,7 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_threefry_partitionable", True)
+# XLA:CPU's default f32 conv/matmul uses a reduced-precision algorithm
+# (~bf16 error, measured 4e-2 vs 7e-7 on a 2x2 conv); pin true f32 so
+# golden/parity tests measure algorithmic parity, not backend defaults.
+jax.config.update("jax_default_matmul_precision", "highest")

@@ -155,6 +155,16 @@ def init(cfg):
             print(f"[vae] decoder unavailable ({e}); "
                   "samples stay in latent space")
 
+    # Classifier gradient guidance (reference: main.py:350, tools/sampler.py
+    # :51-89). A bad --use_classifier path is a hard error, not a silent
+    # downgrade to unguided sampling.
+    classifier_fn = None
+    if cfg.use_classifier:
+        from ..samplers.classifier import build_classifier
+
+        classifier_fn, _ = build_classifier(cfg)
+        print(f"==> Classifier guidance from {cfg.use_classifier}")
+
     evaluator, ref_acts, ref_stats, ref_stats_spatial = (
         (None, None, None, None) if not cfg.eval else _build_evaluator(cfg)
     )
@@ -164,6 +174,7 @@ def init(cfg):
         "train_loader": train_loader, "val_loader": val_loader,
         "diffusion": diffusion, "sample_diffusion": sample_diffusion,
         "model": model, "vae_decode_fn": vae_decode_fn,
+        "classifier_fn": classifier_fn,
         "evaluator": evaluator, "ref_acts": ref_acts,
         "ref_stats": ref_stats, "ref_stats_spatial": ref_stats_spatial,
     }
@@ -179,7 +190,8 @@ def _make_sampler(cfg, ctx, ema: bool = True) -> Sampler:
     # params flow through the jitted sampling programs as arguments (not
     # closure constants) so serialized HLO stays weight-free.
     return Sampler(cfg, model_fn, diffusion=ctx["sample_diffusion"],
-                   vae_decode_fn=ctx["vae_decode_fn"], params=params)
+                   vae_decode_fn=ctx["vae_decode_fn"],
+                   classifier_fn=ctx.get("classifier_fn"), params=params)
 
 
 def generate_samples(cfg, step, ctx, save_grid=False):

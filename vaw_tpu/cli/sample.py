@@ -58,11 +58,19 @@ def main(argv=None):
         except Exception as e:  # noqa: BLE001
             print(f"[vae] decoder unavailable ({e})")
 
+    classifier_fn = None
+    if cfg.use_classifier:
+        from ..samplers.classifier import build_classifier
+
+        classifier_fn, _ = build_classifier(cfg)
+        print(f"==> Classifier guidance from {cfg.use_classifier}")
+
     def model_fn(params, x, t, **kw):
         return model.apply({"params": params}, x, t, train=False, **kw)
 
     sampler = Sampler(cfg, model_fn, diffusion=sample_diffusion,
-                      vae_decode_fn=vae_decode_fn, params=state.ema_params)
+                      vae_decode_fn=vae_decode_fn,
+                      classifier_fn=classifier_fn, params=state.ema_params)
     samples, labels = sampler.sample(
         jax.random.key(cfg.seed), cfg.num_samples, cfg.sample_size,
         cfg.image_size, cfg.num_classes, progress_bar=True,

@@ -30,8 +30,14 @@ __all__ = [
 
 def _conv(features, kernel=3, stride=1, zero_init=False, dtype=jnp.float32,
           name=None):
+    # torch Conv2d(padding=1) pads symmetrically; XLA "SAME" at stride 2
+    # pads (0, 1) instead, shifting every window by one pixel (caught by the
+    # reference-parity suite on the Downsample conv). Use explicit symmetric
+    # padding to match the reference (models/unet.py:126-136).
+    pad = kernel // 2
     return nn.Conv(
-        features, (kernel, kernel), strides=(stride, stride), padding="SAME",
+        features, (kernel, kernel), strides=(stride, stride),
+        padding=((pad, pad), (pad, pad)),
         dtype=dtype, name=name,
         kernel_init=zeros_init if zero_init else nn.initializers.lecun_normal(),
         bias_init=zeros_init,

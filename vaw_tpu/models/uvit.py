@@ -42,7 +42,7 @@ class UViTBlock(nn.Module):
                 jnp.concatenate([x, skip], axis=-1)
             )
         n, t, _ = x.shape
-        y = nn.LayerNorm(dtype=jnp.float32)(x).astype(self.dtype)
+        y = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32)(x).astype(self.dtype)
         qkv = nn.Dense(3 * d, use_bias=self.qkv_bias, dtype=self.dtype,
                        kernel_init=trunc_normal_init(0.02))(y)
         qkv = qkv.reshape(n, t, 3, self.num_heads, d // self.num_heads)
@@ -52,8 +52,11 @@ class UViTBlock(nn.Module):
             attn.reshape(n, t, d)
         )
         x = x + attn
-        y = nn.LayerNorm(dtype=jnp.float32)(x).astype(self.dtype)
+        y = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32)(x).astype(self.dtype)
+        # exact (erf) GELU: reference Mlp uses torch nn.GELU()'s default
+        # (tools/timm.py:84-113 via models/uvit.py:4, 106)
         x = x + Mlp(hidden_features=int(d * self.mlp_ratio),
+                    act=lambda z: nn.gelu(z, approximate=False),
                     dtype=self.dtype)(y)
         return x
 
@@ -87,6 +90,9 @@ class UViT(nn.Module):
         if self.mlp_time_embed:
             t_emb = nn.Dense(4 * self.embed_dim, dtype=self.dtype)(t_emb)
             t_emb = nn.Dense(self.embed_dim, dtype=self.dtype)(nn.silu(t_emb))
+        # Token order is [label, time, patches]: the reference prepends the
+        # time token first, then the label token in front of it
+        # (models/uvit.py:224-231). Matters for pos_embed row alignment.
         tokens = [t_emb[:, None].astype(self.dtype)]
 
         if self.num_classes > 0 and y is not None:
@@ -103,7 +109,7 @@ class UViT(nn.Module):
                 self.num_classes + int(self.class_dropout_prob > 0),
                 self.embed_dim, embedding_init=trunc_normal_init(0.02),
             )(y)
-            tokens.append(label_emb[:, None].astype(self.dtype))
+            tokens.insert(0, label_emb[:, None].astype(self.dtype))
 
         x = jnp.concatenate(tokens + [x], axis=1)
         pos_embed = self.param(
@@ -126,7 +132,7 @@ class UViT(nn.Module):
                           qkv_bias=self.qkv_bias, skip=self.skip,
                           dtype=self.dtype)(x, skips.pop())
 
-        x = nn.LayerNorm(dtype=jnp.float32)(x)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32)(x)
         x = nn.Dense(self.patch_size ** 2 * self.in_channels,
                      kernel_init=trunc_normal_init(0.02),
                      dtype=jnp.float32)(x)

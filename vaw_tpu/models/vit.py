@@ -32,11 +32,16 @@ from .layers import (
 __all__ = ["ViT", "ViT_S", "ViT_B", "ViT_L", "ViT_XL", "ViT_models"]
 
 
-def _rel_pos_index(window):
-    """BEiT relative-position index table for a (h, w) window plus extra
-    tokens (reference: models/vit.py:243-297). Computed host-side."""
+def _rel_pos_index(window, num_extra_tokens=1):
+    """BEiT relative-position index table for a (h, w) window plus 0/1/2
+    extra tokens with distinct learned entries per extra-token relation
+    (reference: models/vit.py:243-290: 3 extra entries for one token —
+    cls->token / token->cls / cls->cls — and 8 for two, covering every
+    time/cls/token pairing)."""
     h, w = window
-    num_rel = (2 * h - 1) * (2 * w - 1) + 3
+    assert num_extra_tokens in (0, 1, 2)
+    extra = num_extra_tokens * (num_extra_tokens + 2)
+    num_rel = (2 * h - 1) * (2 * w - 1) + extra
     coords = np.stack(np.meshgrid(np.arange(h), np.arange(w), indexing="ij"))
     flat = coords.reshape(2, -1)
     rel = flat[:, :, None] - flat[:, None, :]
@@ -44,11 +49,22 @@ def _rel_pos_index(window):
     rel[:, :, 0] += h - 1
     rel[:, :, 1] += w - 1
     rel[:, :, 0] *= 2 * w - 1
-    index = np.zeros((h * w + 1, h * w + 1), dtype=np.int64)
-    index[1:, 1:] = rel.sum(-1)
-    index[0, 0:] = num_rel - 3
-    index[0:, 0] = num_rel - 2
-    index[0, 0] = num_rel - 1
+    e = num_extra_tokens
+    index = np.zeros((h * w + e, h * w + e), dtype=np.int64)
+    index[e:, e:] = rel.sum(-1)
+    if e == 1:
+        index[0, 0:] = num_rel - 3
+        index[0:, 0] = num_rel - 2
+        index[0, 0] = num_rel - 1
+    elif e == 2:
+        index[1, 1] = num_rel - 8
+        index[1, 0] = num_rel - 7
+        index[0, 1] = num_rel - 6
+        index[0, 2:] = num_rel - 5
+        index[2:, 0] = num_rel - 4
+        index[1, 2:] = num_rel - 3
+        index[2:, 1] = num_rel - 2
+        index[0, 0] = num_rel - 1
     return index, num_rel
 
 
@@ -63,18 +79,14 @@ class RelativePositionBias(nn.Module):
     @nn.compact
     def __call__(self):
         h, w = self.window
-        # Extra tokens beyond the first share the cls-token bias rows.
-        index, num_rel = _rel_pos_index(self.window)
+        e = self.num_extra_tokens
+        index, num_rel = _rel_pos_index(self.window, e)
         table = self.param(
             "relative_position_bias_table", zeros_init, (num_rel, self.num_heads)
         )
         bias = table[index.reshape(-1)].reshape(
-            h * w + 1, h * w + 1, self.num_heads
+            h * w + e, h * w + e, self.num_heads
         )
-        extra = self.num_extra_tokens
-        if extra > 1:
-            pad = extra - 1
-            bias = jnp.pad(bias, ((pad, 0), (pad, 0), (0, 0)), mode="edge")
         return bias.transpose(2, 0, 1)  # [H, T, T]
 
 
@@ -126,7 +138,7 @@ class ViTBlock(nn.Module):
         h = ViTAttention(
             num_heads=self.num_heads, qkv_bias=self.qkv_bias, dtype=self.dtype,
             proj_init_scale=self.layer_scale,
-        )(nn.LayerNorm(dtype=jnp.float32)(x).astype(self.dtype), rel_pos_bias)
+        )(nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32)(x).astype(self.dtype), rel_pos_bias)
         if self.init_values is not None:
             gamma1 = self.param("gamma_1",
                                 nn.initializers.constant(self.init_values), (d,))
@@ -134,8 +146,11 @@ class ViTBlock(nn.Module):
         x = x + DropPath(self.drop_path)(h, deterministic)
         h = Mlp(
             hidden_features=int(d * self.mlp_ratio), dropout=self.drop_rate,
+            # exact (erf) GELU: the reference uses torch nn.GELU()'s default
+            # (models/vit.py:62-80, 190), not the tanh approximation
+            act=lambda y: nn.gelu(y, approximate=False),
             dtype=self.dtype,
-        )(nn.LayerNorm(dtype=jnp.float32)(x).astype(self.dtype), deterministic)
+        )(nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32)(x).astype(self.dtype), deterministic)
         if self.init_values is not None:
             gamma2 = self.param("gamma_2",
                                 nn.initializers.constant(self.init_values), (d,))
@@ -233,7 +248,7 @@ class ViT(nn.Module):
             )(x, rel_pos_bias, deterministic)
 
         if not self.use_mean_pooling:
-            x = nn.LayerNorm(dtype=jnp.float32)(x).astype(self.dtype)
+            x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32)(x).astype(self.dtype)
 
         # init_scale-damped projection head (reference: models/vit.py:352-366).
         x = nn.Dense(
