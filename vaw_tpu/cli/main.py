@@ -112,11 +112,20 @@ def init(cfg):
     mesh = make_mesh(data_axis=cfg.data_axis, model_axis=cfg.model_axis)
     generate_logdir(cfg)
 
+    # Multi-host: each process loads its disjoint shard and 1/P of the
+    # global batch; prefetch assembles the global sharded array
+    # (reference: DistributedSampler re-wrap, main.py:166-180).
+    n_proc = jax.process_count()
+    assert cfg.batch_size % n_proc == 0, (
+        f"batch_size {cfg.batch_size} not divisible by "
+        f"{n_proc} processes"
+    )
     train_loader, val_loader = load_dataset(
-        cfg.data_dir, cfg.dataset, cfg.batch_size, cfg.image_size,
+        cfg.data_dir, cfg.dataset, cfg.batch_size // n_proc, cfg.image_size,
         num_workers=cfg.num_workers, seed=cfg.seed,
         num_classes=cfg.num_classes if cfg.class_cond else 0,
         channels=cfg.in_chans,
+        num_shards=n_proc, shard_index=jax.process_index(),
     )
 
     diffusion = build_diffusion(cfg, use_ddim=False)
@@ -241,24 +250,35 @@ def train(cfg, ctx):
     """(reference: main.py:278-316)"""
     from tqdm import trange
 
+    from ..parallel.distributed import is_main_process
+
     trainer, mesh = ctx["trainer"], ctx["mesh"]
     state = ctx["state"]
+    main_proc = is_main_process()
     n_params = sum(
         x.size for x in jax.tree_util.tree_leaves(state.params)
     )
-    print(f"Model params: {n_params / 1e6:.2f} M")
-    print(f"Total batch size (per update step): "
-          f"{cfg.batch_size * cfg.grad_accumulation}")
+    if main_proc:
+        print(f"Model params: {n_params / 1e6:.2f} M")
+        print(f"Total batch size (per update step): "
+              f"{cfg.batch_size * cfg.grad_accumulation}")
 
     start_step = int(state.step)
-    micro = cfg.batch_size * max(1, cfg.grad_accumulation)
+    # per-process slice of the global micro*accum batch
+    micro = (cfg.batch_size // jax.process_count()) * max(
+        1, cfg.grad_accumulation
+    )
     data_iter = prefetch_to_device(
         _rebatched(ctx["train_loader"], micro), mesh
     )
 
     from ..utils import kvlogger
 
-    kvlogger.configure(cfg.logdir, formats=("csv", "json"))
+    # Host-side IO (metrics, sample grids, eval) is main-process-only
+    # (reference: tools/dist_util.py:20-27 gating at trainer.py:64-66,
+    # utils.py:94,137, main.py:374); checkpoint saves stay collective.
+    if main_proc:
+        kvlogger.configure(cfg.logdir, formats=("csv", "json"))
     last_dump_t = None
     last_dump_step = start_step
 
@@ -269,12 +289,13 @@ def train(cfg, ctx):
         async_writer = AsyncCheckpointWriter()
 
     with trange(start_step, cfg.total_steps, initial=start_step,
-                total=cfg.total_steps, dynamic_ncols=True) as pbar:
+                total=cfg.total_steps, dynamic_ncols=True,
+                disable=not main_proc) as pbar:
         for step in range(start_step + 1, cfg.total_steps + 1):
             batch = next(data_iter)
             state, metrics = trainer.step(state, batch)
             ctx["state"] = state
-            if step % 50 == 0 or step == cfg.total_steps:
+            if main_proc and (step % 50 == 0 or step == cfg.total_steps):
                 # float() materializes the loss, closing the async step
                 # chain — honest inter-dump timing (see bench.py).
                 mse = float(metrics.get("mse", metrics["loss"]))
@@ -295,16 +316,21 @@ def train(cfg, ctx):
                 kvlogger.dumpkvs()
             pbar.update(1)
 
-            if cfg.sample_freq > 0 and step % cfg.sample_freq == 0:
+            if (main_proc and cfg.sample_freq > 0
+                    and step % cfg.sample_freq == 0):
                 generate_samples(cfg, step, ctx, save_grid=True)
             if cfg.save_step > 0 and step % cfg.save_step == 0:
+                # collective on all processes (multi-host Orbax write)
                 if async_writer is not None:
                     path = async_writer.save(cfg, step, state)
-                    print(f"Checkpoint saving (async): {path}")
+                    if main_proc:
+                        print(f"Checkpoint saving (async): {path}")
                 else:
                     path = save_checkpoint(cfg, step, state)
-                    print(f"Checkpoint saved: {path}")
-            if cfg.eval and cfg.eval_step > 0 and step % cfg.eval_step == 0:
+                    if main_proc:
+                        print(f"Checkpoint saved: {path}")
+            if (main_proc and cfg.eval and cfg.eval_step > 0
+                    and step % cfg.eval_step == 0):
                 evaluate(cfg, step, ctx)
     if async_writer is not None:
         async_writer.wait()
@@ -329,17 +355,24 @@ def _rebatched(loader, batch_size):
 
 def main(argv=None):
     from ..utils.cache import enable_compilation_cache
+    from ..parallel.distributed import setup_distributed
 
     enable_compilation_cache()
+    # Multi-host runtime init (reference: dist_util.setup_dist, main.py:321);
+    # a no-op for single-process runs.
+    setup_distributed()
     cfg = parse_args(argv)
     ctx = init(cfg)
     if cfg.train:
         train(cfg, ctx)
     if cfg.eval and not cfg.train:
+        from ..parallel.distributed import is_main_process
+
         assert cfg.resume, (
             "Evaluation requires a checkpoint path provided with --resume"
         )
-        evaluate(cfg, int(ctx["state"].step), ctx)
+        if is_main_process():
+            evaluate(cfg, int(ctx["state"].step), ctx)
 
 
 if __name__ == "__main__":

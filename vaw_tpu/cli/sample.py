@@ -26,8 +26,10 @@ def parse_args(argv=None):
 
 def main(argv=None):
     from ..utils.cache import enable_compilation_cache
+    from ..parallel.distributed import is_main_process, setup_distributed
 
     enable_compilation_cache()
+    setup_distributed()  # no-op single-process (reference: sample.py:122-124)
     cfg = parse_args(argv)
     assert cfg.resume, "--resume checkpoint path is required"
     mesh = make_mesh(data_axis=cfg.data_axis, model_axis=cfg.model_axis)
@@ -76,8 +78,10 @@ def main(argv=None):
         cfg.image_size, cfg.num_classes, progress_bar=True,
     )
 
-    # PNG dump, per-class subdirs when conditional
-    # (reference: sample.py:155-182).
+    # PNG dump on the main process only, per-class subdirs when conditional
+    # (reference: sample.py:155-182, rank-0 gated).
+    if not is_main_process():
+        return
     from PIL import Image
 
     os.makedirs(cfg.save_path, exist_ok=True)

@@ -291,7 +291,8 @@ class SlabShuffleLoader:
     trade: shuffle radius ~ slab_size instead of the full epoch."""
 
     def __init__(self, dataset, batch_size: int, slab_size: int = 8192,
-                 shuffle=True, seed=0, drop_last=True):
+                 shuffle=True, seed=0, drop_last=True, num_shards: int = 1,
+                 shard_index: int = 0):
         self.dataset = dataset
         self.batch_size = batch_size
         self.slab_size = max(slab_size, batch_size)
@@ -299,9 +300,12 @@ class SlabShuffleLoader:
         self.drop_last = drop_last
         self.seed = seed
         self.epoch = 0
+        assert 0 <= shard_index < num_shards
+        self.num_shards = num_shards
+        self.shard_index = shard_index
 
     def __len__(self):
-        n = len(self.dataset)
+        n = len(self.dataset) // self.num_shards
         return n // self.batch_size if self.drop_last else math.ceil(
             n / self.batch_size
         )
@@ -313,6 +317,9 @@ class SlabShuffleLoader:
         self.epoch += 1
         if self.shuffle:
             rs.shuffle(starts)
+        if self.num_shards > 1:
+            # multi-host: disjoint SLABS per process (same shared shuffle)
+            starts = starts[self.shard_index::self.num_shards]
         carry: Optional[Dict[str, np.ndarray]] = None
         for s in starts:
             slab = self.dataset.get_slab(s, min(s + self.slab_size, n))
@@ -344,16 +351,24 @@ class BatchLoader:
     DistributedSampler, reference main.py:166-180)."""
 
     def __init__(self, dataset, batch_size: int, shuffle=True, seed=0,
-                 drop_last=True):
+                 drop_last=True, num_shards: int = 1, shard_index: int = 0):
+        """num_shards/shard_index: multi-host strided sharding of each
+        epoch's index permutation — every process sees a disjoint slice of
+        the same shuffle (replaces DistributedSampler,
+        reference main.py:166-180). The shuffle seed is shared so shards
+        stay disjoint across processes."""
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.drop_last = drop_last
         self.seed = seed
         self.epoch = 0
+        assert 0 <= shard_index < num_shards
+        self.num_shards = num_shards
+        self.shard_index = shard_index
 
     def __len__(self):
-        n = len(self.dataset)
+        n = len(self.dataset) // self.num_shards
         return n // self.batch_size if self.drop_last else math.ceil(
             n / self.batch_size
         )
@@ -364,7 +379,10 @@ class BatchLoader:
         if self.shuffle:
             rs = np.random.RandomState(self.seed + self.epoch)
             rs.shuffle(idx)
+        if self.num_shards > 1:
+            idx = idx[self.shard_index::self.num_shards]
         self.epoch += 1
+        n = len(idx)
         end = n - n % self.batch_size if self.drop_last else n
         for i in range(0, end, self.batch_size):
             yield self.dataset.get_batch(idx[i: i + self.batch_size])
@@ -376,9 +394,12 @@ class BatchLoader:
 
 def load_dataset(data_dir: str, dataset: str, batch_size: int,
                  image_size: int, num_workers: int = 0, shuffle: bool = True,
-                 seed: int = 0, num_classes: int = 0, channels: int = 3):
+                 seed: int = 0, num_classes: int = 0, channels: int = 3,
+                 num_shards: int = 1, shard_index: int = 0):
     """Unified loader (reference: datasets/data_loader.py:199-224). Returns
-    (train_loader, test_loader)."""
+    (train_loader, test_loader). num_shards/shard_index give each multi-host
+    process a disjoint shard (replaces DistributedSampler,
+    reference main.py:166-180)."""
     if dataset == "CIFAR-10":
         train = Cifar10Dataset(data_dir, train=True)
         test = Cifar10Dataset(data_dir, train=False, flip=False)
@@ -414,6 +435,8 @@ def load_dataset(data_dir: str, dataset: str, batch_size: int,
         SlabShuffleLoader if hasattr(train, "get_slab") else BatchLoader
     )
     return (
-        train_cls(train, batch_size, shuffle=shuffle, seed=seed),
-        BatchLoader(test, batch_size, shuffle=False, seed=seed),
+        train_cls(train, batch_size, shuffle=shuffle, seed=seed,
+                  num_shards=num_shards, shard_index=shard_index),
+        BatchLoader(test, batch_size, shuffle=False, seed=seed,
+                    num_shards=num_shards, shard_index=shard_index),
     )

@@ -27,10 +27,22 @@ def prefetch_to_device(iterator: Iterator, mesh, size: int = 2,
     runs in a separate thread so it overlaps both compute and transfer."""
     sharding = batch_sharding(mesh)
 
-    def put(batch):
-        return jax.tree_util.tree_map(
-            lambda x: jax.device_put(x, sharding), batch
-        )
+    if jax.process_count() > 1:
+        # Multi-host: each process holds 1/P of the global batch; assemble
+        # the global 'data'-sharded array from the local slices
+        # (device_put of a host-local full array is single-process only).
+        def put(batch):
+            return jax.tree_util.tree_map(
+                lambda x: jax.make_array_from_process_local_data(
+                    sharding, x
+                ),
+                batch,
+            )
+    else:
+        def put(batch):
+            return jax.tree_util.tree_map(
+                lambda x: jax.device_put(x, sharding), batch
+            )
 
     if background:
         q: queue_mod.Queue = queue_mod.Queue(maxsize=size)

@@ -19,7 +19,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 __all__ = ["transformer_partition_rules", "partition_specs",
            "shard_params", "param_shardings", "fsdp_partition_specs",
-           "fsdp_param_shardings", "tree_shardings_like"]
+           "fsdp_param_shardings", "tree_shardings_like",
+           "tp_rule_census", "assert_tp_rules_applied"]
 
 # (path regex, spec) — first match wins. Column-parallel: shard output dim;
 # row-parallel: shard input dim so the following contraction reduces over
@@ -49,6 +50,40 @@ def _spec_for(path: str, rules) -> P:
         if re.fullmatch(pattern, path):
             return spec
     return P()
+
+
+def tp_rule_census(params, rules=TRANSFORMER_RULES):
+    """-> (matched kernel paths, unmatched kernel paths). 'Kernel' = any
+    2D+ leaf (the shardable matmuls; biases/scales follow their layer)."""
+    flat = traverse_util.flatten_dict(params, sep="/")
+    matched, unmatched = [], []
+    for path, leaf in flat.items():
+        if len(getattr(leaf, "shape", ())) < 2:
+            continue
+        (matched if _spec_for(path, rules) != P() else unmatched).append(path)
+    return matched, unmatched
+
+
+def assert_tp_rules_applied(params, model_axis_size: int,
+                            rules=TRANSFORMER_RULES, verbose: bool = True):
+    """Fail fast when tensor parallelism is requested but the name-based
+    rules matched nothing — a renamed module must not silently fall back to
+    full replication. Logs the sharded-leaf census so a partial match is
+    visible too."""
+    if model_axis_size <= 1:
+        return
+    matched, unmatched = tp_rule_census(params, rules)
+    if not matched:
+        sample = sorted(unmatched)[:6]
+        raise ValueError(
+            f"model_axis={model_axis_size} but no TP partition rule matched "
+            f"any kernel; the model would silently replicate. Kernel paths "
+            f"seen: {sample}{'...' if len(unmatched) > 6 else ''} — extend "
+            "TRANSFORMER_RULES or run with model_axis=1."
+        )
+    if verbose:
+        print(f"[tp] model_axis={model_axis_size}: {len(matched)} kernels "
+              f"sharded, {len(unmatched)} replicated")
 
 
 def partition_specs(params, rules=TRANSFORMER_RULES):

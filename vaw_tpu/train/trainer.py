@@ -156,6 +156,12 @@ class Trainer:
         """Place params/EMA/opt-state on the mesh: TP (+FSDP) shardings for
         params and EMA, matching shardings for the Adam moments, replicated
         scalars."""
+        # Loud TP: with model_axis > 1 a model whose module names miss every
+        # rule must fail, not silently replicate.
+        from ..parallel.partition import assert_tp_rules_applied
+
+        assert_tp_rules_applied(state.params,
+                                int(self.mesh.shape.get("model", 1)))
         if getattr(self.cfg, "fsdp", False):
             p_sh = fsdp_param_shardings(self.mesh, state.params)
         else:

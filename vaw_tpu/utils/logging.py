@@ -46,15 +46,41 @@ def snapshot_sources(logdir: str):
             shutil.copy2(src, dst)
 
 
+def _consistent_timestamp() -> str:
+    """Run timestamp, identical on every process: checkpointing is a
+    collective Orbax write, so all hosts must agree on the logdir. Process 0
+    picks the time and broadcasts it (reference rank-0 idiom,
+    tools/utils.py:33-60)."""
+    import time as _time
+
+    import jax
+
+    seconds = int(_time.time())
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        import numpy as _np
+
+        seconds = int(multihost_utils.broadcast_one_to_all(
+            _np.int64(seconds)
+        ))
+    return datetime.fromtimestamp(seconds).strftime("%Y%m%d-%H%M%S")
+
+
 def generate_logdir(cfg, snapshot: bool = True) -> str:
     """Create {logdir}/{timestamp}, snapshot sources + config.yaml
     (reference: tools/utils.py:51-60). Mutates cfg.logdir like the reference
-    mutates args.logdir."""
+    mutates args.logdir. Only the main process writes artifacts
+    (reference: tools/dist_util.py:20-27 gating)."""
     import yaml
 
-    timestamp = datetime.now().strftime("%Y%m%d-%H%M%S")
+    from ..parallel.distributed import is_main_process
+
+    timestamp = _consistent_timestamp()
     logdir = os.path.join(cfg.logdir, timestamp)
     cfg.logdir = logdir
+    if not is_main_process():
+        return logdir
     os.makedirs(logdir, exist_ok=True)
     if snapshot:
         snapshot_sources(logdir)
