@@ -91,9 +91,40 @@ def _install_stubs():
     helpers = types.ModuleType("timm.layers.helpers")
     helpers.to_2tuple = _to_2tuple
     layers_pkg.helpers = helpers
+    # timm.layers.pos_embed.resample_abs_pos_embed (used by the reference
+    # encoder loader, tools/encoders.py:33,117,150,218): public timm ≥0.9
+    # semantics — split prefix tokens, bicubic antialiased F.interpolate
+    # of the grid part in float32, concat back.
+    pos_embed_mod = types.ModuleType("timm.layers.pos_embed")
+
+    def _resample_abs_pos_embed(posemb, new_size, old_size=None,
+                                num_prefix_tokens=1, interpolation="bicubic",
+                                antialias=True, verbose=False):
+        num_pos = posemb.shape[1] - num_prefix_tokens
+        if old_size is None:
+            hw = int(num_pos ** 0.5)
+            old_size = (hw, hw)
+        if tuple(new_size) == tuple(old_size):
+            return posemb
+        prefix = posemb[:, :num_prefix_tokens]
+        grid = posemb[:, num_prefix_tokens:]
+        embed_dim = posemb.shape[-1]
+        orig_dtype = grid.dtype
+        grid = grid.float().reshape(1, old_size[0], old_size[1], -1)
+        grid = grid.permute(0, 3, 1, 2)
+        grid = torch.nn.functional.interpolate(
+            grid, size=tuple(new_size), mode=interpolation,
+            antialias=antialias)
+        grid = grid.permute(0, 2, 3, 1).reshape(1, -1, embed_dim)
+        grid = grid.to(orig_dtype)
+        return torch.cat([prefix, grid], dim=1)
+
+    pos_embed_mod.resample_abs_pos_embed = _resample_abs_pos_embed
+    layers_pkg.pos_embed = pos_embed_mod
     timm.layers = layers_pkg
     sys.modules["timm.layers"] = layers_pkg
     sys.modules["timm.layers.helpers"] = helpers
+    sys.modules["timm.layers.pos_embed"] = pos_embed_mod
     vit_mod.VisionTransformer = _TimmVisionTransformer
     vit_mod._cfg = lambda url="", **kwargs: {"url": url, **kwargs}
 

@@ -66,9 +66,13 @@ def get_feature(enc_type: str, pixels: jnp.ndarray,
     x = preprocess_raw_image(pixels, enc_type)
     feats = encoder_fn(x)
     feats = jax.lax.stop_gradient(feats)
-    if "mocov3" in enc_type or "dinov2" in enc_type or "mae" in enc_type \
-            or "dinov1" in enc_type or "clip" in enc_type:
-        # Strip the cls token; dinov2's x_norm_patchtokens is exactly the
-        # post-norm patch tokens (align_utils.py:47-49).
+    # Strip prefix tokens down to patch tokens, matching what each
+    # reference family returns to the align loss (align_utils.py:43-50):
+    # cls stripped for mocov3 (glue), mae/clip (inside forward), post-norm
+    # patch tokens for dinov2 (x_norm_patchtokens — cls AND registers
+    # dropped); jepa has no prefix tokens.
+    if "dinov2reg" in enc_type:
+        feats = feats[:, 5:]  # cls + 4 register tokens
+    elif "jepa" not in enc_type:
         feats = feats[:, 1:]
     return feats

@@ -7,14 +7,31 @@ architecture modulo small deltas, so the TPU build uses ONE parameterized
 Flax ViT:
 
   family      patch  deltas
-  dinov2      14     LayerScale, cls token, final LayerNorm, patch tokens out
+  dinov2      14     LayerScale, cls token, final LayerNorm
+  dinov2reg   14     dinov2 + 4 register tokens (inserted after the
+                     pos-embed add, no pos rows of their own — the
+                     torch.hub `_reg` variants, tools/encoders.py:106)
   dinov1      16     cls token, final LayerNorm
-  mae         16     cls token, final LayerNorm
-  mocov3      16     fixed 2D sin-cos pos embed, cls token
-  jepa        14/16  no cls token, final LayerNorm
-  clip        14/16  pre-LN after embed, quick-GELU, cls token, NO final LN
-                     (the reference strips ln_post/proj,
-                      encoders/clip_vit.py:207-230)
+  mae         16     cls token, NO final norm — the reference MAE
+                     forward_features returns pre-norm tokens
+                     (encoders/mae_vit.py:34-48: blocks then `x[:, 1:]`,
+                     self.norm never applied)
+  mocov3      16     cls token; pos embed is a LOADABLE param initialized
+                     to MoCo-v3's 2D sin-cos table — at load time the
+                     reference overwrites it with the checkpoint table
+                     resampled to the runtime grid
+                     (tools/encoders.py:32-35 + load_state_dict :94)
+  jepa        14/16  no cls token, final LayerNorm, sincos pos
+                     (encoders/jepa.py:409-413)
+  clip        14/16  pre-LN after embed, quick-GELU, NO final LN, eps=1e-5
+                     (torch nn.LayerNorm default; encoders/clip_vit.py:159,
+                     173-195; ln_post/proj stripped by the wrapper,
+                     clip_vit.py:208-230)
+
+MoCo-v3's ConvStem variants (mocov3_vit.py:151-189 vit_conv_*) are
+intentionally not modelled: the reference loader raises
+NotImplementedError for any mocov3 architecture other than 'vit'
+(tools/encoders.py:59-61), so they are unreachable capability.
 
 `forward_features` returns the full token sequence [N, extra+T, D]; the
 align glue slices per family (vaw_tpu.encoders.align).
@@ -31,15 +48,44 @@ import numpy as np
 from ..models.layers import (
     Mlp,
     MultiHeadSelfAttention,
-    get_2d_sincos_pos_embed,
     trunc_normal_init,
 )
 
-__all__ = ["FeatureViT", "FAMILY_CONFIGS", "make_teacher"]
+__all__ = ["FeatureViT", "FAMILY_CONFIGS", "make_teacher",
+           "mocov3_sincos_pos_embed"]
 
 
 def _quick_gelu(x):
     return x * nn.sigmoid(1.702 * x)
+
+
+def _gelu_exact(x):
+    # torch nn.GELU default is the exact erf form (timm blocks,
+    # encoders/jepa.py:155-170); flax nn.gelu defaults to tanh-approx.
+    return nn.gelu(x, approximate=False)
+
+
+def mocov3_sincos_pos_embed(embed_dim: int, grid: int,
+                            temperature: float = 10000.0) -> np.ndarray:
+    """MoCo-v3's fixed 2D sin-cos table incl. the zero cls row, exactly as
+    built by build_2d_sincos_position_embedding
+    (reference: encoders/mocov3_vit.py:79-97): meshgrid(w, h) 'ij' order,
+    [sin w, cos w, sin h, cos h] concat, zeros pe_token prefix.
+    Returns [1, 1 + grid*grid, D]."""
+    assert embed_dim % 4 == 0
+    grid_w, grid_h = np.meshgrid(np.arange(grid, dtype=np.float32),
+                                 np.arange(grid, dtype=np.float32),
+                                 indexing="ij")
+    pos_dim = embed_dim // 4
+    omega = np.arange(pos_dim, dtype=np.float32) / pos_dim
+    omega = 1.0 / temperature ** omega
+    out_w = np.einsum("m,d->md", grid_w.flatten(), omega)
+    out_h = np.einsum("m,d->md", grid_h.flatten(), omega)
+    table = np.concatenate(
+        [np.sin(out_w), np.cos(out_w), np.sin(out_h), np.cos(out_h)], axis=1
+    )[None]
+    pe_token = np.zeros((1, 1, embed_dim), np.float32)
+    return np.concatenate([pe_token, table], axis=1)
 
 
 class TeacherBlock(nn.Module):
@@ -47,6 +93,7 @@ class TeacherBlock(nn.Module):
     mlp_ratio: float = 4.0
     layer_scale: bool = False
     quick_gelu: bool = False
+    norm_eps: float = 1e-6
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -54,16 +101,16 @@ class TeacherBlock(nn.Module):
         d = x.shape[-1]
         h = MultiHeadSelfAttention(num_heads=self.num_heads, qkv_bias=True,
                                    dtype=self.dtype, name="attn")(
-            nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32,
+            nn.LayerNorm(epsilon=self.norm_eps, dtype=jnp.float32,
                          name="norm1")(x).astype(self.dtype)
         )
         if self.layer_scale:
             h = self.param("ls1", nn.initializers.ones, (d,)) * h
         x = x + h
         h = Mlp(hidden_features=int(d * self.mlp_ratio),
-                act=_quick_gelu if self.quick_gelu else nn.gelu,
+                act=_quick_gelu if self.quick_gelu else _gelu_exact,
                 dtype=self.dtype, name="mlp")(
-            nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32,
+            nn.LayerNorm(epsilon=self.norm_eps, dtype=jnp.float32,
                          name="norm2")(x).astype(self.dtype)
         )
         if self.layer_scale:
@@ -79,11 +126,13 @@ class FeatureViT(nn.Module):
     num_heads: int = 12
     mlp_ratio: float = 4.0
     use_cls_token: bool = True
-    fixed_sincos_pos: bool = False
+    fixed_sincos_pos: bool = False  # init pos_embed to the MoCo-v3 table
+    num_register_tokens: int = 0
     layer_scale: bool = False
     pre_norm: bool = False
     final_norm: bool = True
     quick_gelu: bool = False
+    norm_eps: float = 1e-6
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -108,27 +157,45 @@ class FeatureViT(nn.Module):
             extra = 1
 
         if self.fixed_sincos_pos:
-            pos = get_2d_sincos_pos_embed(self.embed_dim, gh,
-                                          cls_token=True, extra_tokens=extra)
-            tokens = tokens + jnp.asarray(pos, tokens.dtype)[None]
+            # A loadable param (the reference overwrites MoCo-v3's frozen
+            # table with the resampled checkpoint table at load time,
+            # tools/encoders.py:32-35); sincos is just the init.
+            table = mocov3_sincos_pos_embed(self.embed_dim, gh)
+            if not self.use_cls_token:
+                table = table[:, 1:]
+            pos = self.param(
+                "pos_embed",
+                lambda rng, shape: jnp.asarray(table, jnp.float32),
+                (1, extra + gh * gw, self.embed_dim))
         else:
             pos = self.param("pos_embed", trunc_normal_init(0.02),
                              (1, extra + gh * gw, self.embed_dim))
-            tokens = tokens + pos.astype(tokens.dtype)
+        tokens = tokens + pos.astype(tokens.dtype)
+
+        if self.num_register_tokens:
+            # DINOv2-reg: registers ride after the cls token and get no
+            # pos-embed rows (inserted post-add, dinov2 prepare_tokens).
+            reg = self.param("register_tokens", trunc_normal_init(0.02),
+                             (1, self.num_register_tokens, self.embed_dim))
+            reg = jnp.broadcast_to(
+                reg, (n, self.num_register_tokens, self.embed_dim)
+            ).astype(tokens.dtype)
+            tokens = jnp.concatenate(
+                [tokens[:, :extra], reg, tokens[:, extra:]], axis=1)
 
         if self.pre_norm:  # CLIP ln_pre
-            tokens = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32,
+            tokens = nn.LayerNorm(epsilon=self.norm_eps, dtype=jnp.float32,
                                   name="ln_pre")(tokens).astype(self.dtype)
 
         for i in range(self.depth):
             tokens = TeacherBlock(
                 num_heads=self.num_heads, mlp_ratio=self.mlp_ratio,
                 layer_scale=self.layer_scale, quick_gelu=self.quick_gelu,
-                dtype=self.dtype, name=f"block_{i}",
+                norm_eps=self.norm_eps, dtype=self.dtype, name=f"block_{i}",
             )(tokens)
 
         if self.final_norm:
-            tokens = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32,
+            tokens = nn.LayerNorm(epsilon=self.norm_eps, dtype=jnp.float32,
                                   name="norm")(tokens)
         return tokens.astype(jnp.float32)
 
@@ -147,12 +214,14 @@ _SIZES = {
 
 FAMILY_CONFIGS = {
     "dinov2": dict(patch_size=14, layer_scale=True),
+    "dinov2reg": dict(patch_size=14, layer_scale=True,
+                      num_register_tokens=4),
     "dinov1": dict(patch_size=16),
-    "mae": dict(patch_size=16),
+    "mae": dict(patch_size=16, final_norm=False),
     "mocov3": dict(patch_size=16, fixed_sincos_pos=True),
     "jepa": dict(patch_size=14, use_cls_token=False),
     "clip": dict(patch_size=14, pre_norm=True, final_norm=False,
-                 quick_gelu=True),
+                 quick_gelu=True, norm_eps=1e-5),
 }
 
 
