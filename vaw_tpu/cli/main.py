@@ -13,6 +13,15 @@ import argparse
 import os
 import time
 import jax
+
+# VAW_PLATFORM pins the jax backend in-process. Env vars like
+# JAX_PLATFORMS=cpu are not enough when a site plugin registers an
+# accelerator backend at interpreter start (same failure mode as the
+# multichip dryrun, train/dryrun.py); jax.config still wins as long as no
+# backend client exists yet.
+if os.environ.get("VAW_PLATFORM"):
+    jax.config.update("jax_platforms", os.environ["VAW_PLATFORM"])
+
 import numpy as np
 
 from ..core import (
@@ -109,7 +118,20 @@ def _build_evaluator(cfg):
 
 def init(cfg):
     """(reference: main.py:319-391)"""
-    mesh = make_mesh(data_axis=cfg.data_axis, model_axis=cfg.model_axis)
+    if cfg.pp_stages > 1:
+        # Pipeline parallelism: ('data','stage') mesh, DiT blocks pipelined
+        # via GPipe fill-drain (parallel/dit_pipeline.py). TPU extension —
+        # the reference is dp-only (SURVEY.md §2.8).
+        from ..parallel import make_pp_mesh
+
+        assert cfg.model_axis == 1, "--pp_stages composes with dp, not tp"
+        assert cfg.scan_blocks, "--pp_stages requires --scan_blocks"
+        assert cfg.model.startswith("DiT"), (
+            "--pp_stages supports the DiT family (scan-blocks layout)"
+        )
+        mesh = make_pp_mesh(cfg.pp_stages)
+    else:
+        mesh = make_mesh(data_axis=cfg.data_axis, model_axis=cfg.model_axis)
     generate_logdir(cfg)
 
     # Multi-host: each process loads its disjoint shard and 1/P of the
@@ -145,7 +167,16 @@ def init(cfg):
             print(f"[align] teacher encoder unavailable ({e}); "
                   "align features must come from the dataset")
 
-    trainer = Trainer(cfg, model, diffusion, mesh, encoder_fn=encoder_fn)
+    apply_fn = None
+    if cfg.pp_stages > 1:
+        from ..parallel import pipelined_dit_apply
+
+        apply_fn = pipelined_dit_apply(
+            model, mesh, cfg.pp_microbatches or cfg.pp_stages,
+            batch_axis="data",
+        )
+    trainer = Trainer(cfg, model, diffusion, mesh, encoder_fn=encoder_fn,
+                      apply_fn=apply_fn)
 
     sample_batch = next(iter(train_loader))
     state = trainer.init_state(jax.random.key(cfg.seed), sample_batch)

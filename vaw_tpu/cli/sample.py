@@ -8,6 +8,12 @@ import argparse
 import os
 
 import jax
+
+# See cli/main.py: in-process backend pin (env JAX_PLATFORMS can be
+# pre-empted by site plugins registering an accelerator backend).
+if os.environ.get("VAW_PLATFORM"):
+    jax.config.update("jax_platforms", os.environ["VAW_PLATFORM"])
+
 import numpy as np
 
 from ..models import build_model

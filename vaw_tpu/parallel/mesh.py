@@ -46,6 +46,18 @@ def make_mesh(data_axis: int = -1, model_axis: int = 1,
     return Mesh(grid, ("data", "model"))
 
 
+def make_pp_mesh(pp_stages: int,
+                 devices: Optional[Sequence] = None) -> Mesh:
+    """('data', 'stage') mesh for dp+pp (parallel/dit_pipeline.py). The
+    stage axis rides the fastest-varying device dim so stage hops are
+    ICI neighbors."""
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    assert n % pp_stages == 0, (n, pp_stages)
+    grid = np.asarray(devices).reshape(n // pp_stages, pp_stages)
+    return Mesh(grid, ("data", "stage"))
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     """Shard the leading (batch) axis over 'data'
     (replaces DistributedSampler, reference main.py:166-180)."""

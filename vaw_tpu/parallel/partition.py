@@ -19,8 +19,9 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 __all__ = ["transformer_partition_rules", "partition_specs",
            "shard_params", "param_shardings", "fsdp_partition_specs",
-           "fsdp_param_shardings", "tree_shardings_like",
-           "tp_rule_census", "assert_tp_rules_applied"]
+           "fsdp_param_shardings", "pp_param_shardings",
+           "tree_shardings_like", "tp_rule_census",
+           "assert_tp_rules_applied"]
 
 # (path regex, spec) — first match wins. Column-parallel: shard output dim;
 # row-parallel: shard input dim so the following contraction reduces over
@@ -105,6 +106,29 @@ def shard_params(mesh: Mesh, params, rules=TRANSFORMER_RULES):
     """Device-put params with TP shardings (replicated where no rule hits)."""
     shardings = param_shardings(mesh, params, rules)
     return jax.tree_util.tree_map(jax.device_put, params, shardings)
+
+
+def pp_param_shardings(mesh: Mesh, params, stage_axis: str = "stage"):
+    """Pipeline-parallel shardings: the stacked block pytree (a scan-blocks
+    DiT's `ScanBlocks/*`, parallel/dit_pipeline.py) shards its leading
+    [depth] axis over `stage_axis` — each stage holds only its own blocks,
+    the memory win that motivates PP — while the small embed/final params
+    replicate."""
+    flat = traverse_util.flatten_dict(params, sep="/")
+    num_stages = int(mesh.shape[stage_axis])
+    specs = {}
+    for path, leaf in flat.items():
+        if (path.startswith("ScanBlocks/")
+                and getattr(leaf, "shape", ())
+                and leaf.shape[0] % num_stages == 0):
+            specs[path] = P(stage_axis)
+        else:
+            specs[path] = P()
+    specs = traverse_util.unflatten_dict(specs, sep="/")
+    return jax.tree_util.tree_map(
+        lambda s: NamedSharding(mesh, s), specs,
+        is_leaf=lambda x: isinstance(x, P),
+    )
 
 
 # --------------------------------------------------------------------- #

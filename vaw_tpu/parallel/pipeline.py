@@ -44,7 +44,7 @@ def stack_stage_params(params_per_block, num_stages: int):
 
 
 def pipeline(block_fn: Callable, mesh: Mesh, num_microbatches: int,
-             stage_axis: str = "stage"):
+             stage_axis: str = "stage", batch_axis: str = None):
     """Build a pipelined apply over `mesh`'s `stage_axis`.
 
     block_fn(block_params, x, aux) -> x applies ONE block; each stage scans
@@ -52,6 +52,10 @@ def pipeline(block_fn: Callable, mesh: Mesh, num_microbatches: int,
     (stage_params [S, L/S, ...], x [B, ...], aux [B, ...]-pytree) and
     returns y [B, ...]. aux (e.g. the adaLN conditioning vector) rides along
     each microbatch, delayed per stage to stay aligned with its activations.
+
+    `batch_axis` composes dp+pp on a 2D mesh: activations shard their batch
+    dim over it while block params shard over `stage_axis` (each data row
+    runs its own fill-drain schedule on its batch shard).
     """
     num_stages = mesh.shape[stage_axis]
 
@@ -66,14 +70,17 @@ def pipeline(block_fn: Callable, mesh: Mesh, num_microbatches: int,
     def pipelined(stage_params, x, aux):
         m = num_microbatches
         batch = x.shape[0]
-        assert batch % m == 0, (batch, m)
-        mb = batch // m
+        if batch_axis:
+            assert batch % (m * mesh.shape[batch_axis]) == 0, (batch, m)
+        else:
+            assert batch % m == 0, (batch, m)
 
         def shmap_body(local_params, x, aux):
             local_params = jax.tree_util.tree_map(
                 lambda p: p[0], local_params
             )  # drop the sharded stage dim (size 1 locally)
             s = jax.lax.axis_index(stage_axis)
+            mb = x.shape[0] // m  # local per-microbatch size
             mbs = x.reshape(m, mb, *x.shape[1:])
             aux_mb = jax.tree_util.tree_map(
                 lambda a: a.reshape(m, mb, *a.shape[1:]), aux
@@ -120,13 +127,14 @@ def pipeline(block_fn: Callable, mesh: Mesh, num_microbatches: int,
             outputs = jax.lax.psum(
                 jnp.where(s == num_stages - 1, outputs, 0.0), stage_axis
             )
-            return outputs.reshape(batch, *x.shape[1:])
+            return outputs.reshape(x.shape[0], *x.shape[1:])
 
-        aux_specs = jax.tree_util.tree_map(lambda _: P(), aux)
+        act_spec = P(batch_axis) if batch_axis else P()
+        aux_specs = jax.tree_util.tree_map(lambda _: act_spec, aux)
         return shard_map(
             shmap_body, mesh=mesh,
-            in_specs=(P(stage_axis), P(), aux_specs),
-            out_specs=P(),
+            in_specs=(P(stage_axis), act_spec, aux_specs),
+            out_specs=act_spec,
         )(stage_params, x, aux)
 
     return pipelined

@@ -92,9 +92,10 @@ def dryrun_multichip(n_devices: int) -> None:
         # Both regimes compute the same math; shardings must not change it.
         assert abs(losses["dp+tp"] - losses["dp+tp+fsdp"]) < 1e-3, losses
 
-        # Pipeline parallelism: a stage mesh over the same devices, GPipe
-        # microbatching through a toy block stack, forward + backward.
-        pp_loss = _dryrun_pipeline(devices)
+        # Pipeline parallelism: ('data','stage') mesh over the same devices,
+        # real DiT blocks GPipe-pipelined through the FULL train step
+        # (parallel/dit_pipeline.py), checked for dp-equality.
+        pp_loss = _dryrun_dit_pipeline(devices, cfg, process, batch)
 
     # Hermeticity check: no live buffer may have landed off-CPU.
     non_cpu = {
@@ -109,38 +110,49 @@ def dryrun_multichip(n_devices: int) -> None:
           f"losses={losses} pp_loss={pp_loss:.4f} OK")
 
 
-def _dryrun_pipeline(devices) -> float:
-    """4-stage (or 2-stage) GPipe pipeline over 'stage' with gradients."""
-    from jax.sharding import Mesh
-
-    from ..parallel.pipeline import pipeline, stack_stage_params
+def _dryrun_dit_pipeline(devices, cfg, process, batch) -> float:
+    """Full train step with real DiT blocks pipelined over a
+    ('data','stage') mesh; the step-1 loss must match the dp run (the same
+    model/math, different orchestration)."""
+    from ..parallel.dit_pipeline import pipelined_dit_apply
+    from ..parallel.mesh import make_pp_mesh
 
     stages = 4 if len(devices) >= 4 else 2
-    mesh = Mesh(np.array(devices[:stages]), ("stage",))
-    rs = np.random.RandomState(0)
-    dim, depth, batch = 16, stages * 2, 8
-    blocks = [
-        {"w": jnp.asarray(rs.randn(dim, dim) * 0.3, jnp.float32),
-         "b": jnp.asarray(rs.randn(dim) * 0.1, jnp.float32)}
-        for _ in range(depth)
-    ]
-    stage_params = stack_stage_params(blocks, stages)
-    x = jnp.asarray(rs.randn(batch, dim), jnp.float32)
-    aux = jnp.zeros((batch, dim), jnp.float32)
-
-    def block_fn(p, h, a):
-        return jnp.tanh(h @ p["w"] + p["b"] + a)
-
-    piped = pipeline(block_fn, mesh, num_microbatches=4)
-
-    def loss_fn(sp):
-        return jnp.mean(piped(sp, x, aux) ** 2)
-
-    loss, grads = jax.jit(jax.value_and_grad(loss_fn))(stage_params)
-    jax.block_until_ready(grads)
-    assert np.isfinite(float(loss))
-    assert all(
-        np.isfinite(np.asarray(g)).all()
-        for g in jax.tree_util.tree_leaves(grads)
+    mesh = make_pp_mesh(stages, devices=devices)
+    run_cfg = replace(cfg, pp_stages=stages, pp_microbatches=2,
+                      scan_blocks=True, grad_accumulation=1)
+    model = DiT(
+        image_size=cfg.image_size, patch_size=2, in_channels=4,
+        hidden_size=64, depth=stages * 2, num_heads=2, num_classes=10,
+        class_dropout_prob=0.1, scan_blocks=True,
     )
-    return float(loss)
+    apply_fn = pipelined_dit_apply(model, mesh, 2, batch_axis="data")
+    with mesh:
+        trainer = Trainer(run_cfg, model, process, mesh, apply_fn=apply_fn)
+        state = trainer.init_state(jax.random.key(0), batch)
+        # The block stack must actually shard over 'stage'.
+        block_leaf = state.params["ScanBlocks"]["DiTBlock_0"][
+            "Mlp_0"]["Dense_0"]["kernel"]
+        assert "stage" in jax.tree_util.tree_leaves(
+            tuple(block_leaf.sharding.spec)), block_leaf.sharding
+        sharded = shard_batch(mesh, batch)
+        state, metrics = trainer.step(state, sharded)
+        jax.block_until_ready(metrics["loss"])
+        loss = float(metrics["loss"])
+        assert np.isfinite(loss), loss
+        assert int(state.step) == 1
+
+        # dp-equality on the forward: the pipelined model (different depth
+        # from the dp model above, so loss differs; equality is asserted
+        # against its own plain apply instead).
+        x = batch["image"][..., :4]
+        t = jnp.zeros((x.shape[0],), jnp.float32)
+        y = batch["label"]
+        ref, _ = model.apply({"params": jax.device_get(state.params)},
+                             x, t, y)
+        out, _ = jax.jit(
+            lambda v, x, t, y: apply_fn(v, x, t, y)
+        )({"params": state.params}, x, t, y)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=1e-4, rtol=1e-4)
+    return loss

@@ -85,11 +85,14 @@ class Trainer:
     """
 
     def __init__(self, cfg, model, process, mesh, base_rng=None,
-                 encoder_fn=None):
+                 encoder_fn=None, apply_fn=None):
         self.cfg = cfg
         self.model = model
         self.process = process
         self.mesh = mesh
+        # Optional drop-in replacement for model.apply — e.g. the
+        # pipeline-parallel DiT forward (parallel/dit_pipeline.py).
+        self.apply_fn = apply_fn
         self.tx = make_optimizer(cfg)
         self.base_rng = (
             base_rng if base_rng is not None else jax.random.key(cfg.seed)
@@ -162,7 +165,14 @@ class Trainer:
 
         assert_tp_rules_applied(state.params,
                                 int(self.mesh.shape.get("model", 1)))
-        if getattr(self.cfg, "fsdp", False):
+        if "stage" in self.mesh.shape:
+            from ..parallel.partition import pp_param_shardings
+
+            assert not getattr(self.cfg, "fsdp", False), (
+                "fsdp+pp composition is not supported; run pp with dp only"
+            )
+            p_sh = pp_param_shardings(self.mesh, state.params)
+        elif getattr(self.cfg, "fsdp", False):
             p_sh = fsdp_param_shardings(self.mesh, state.params)
         else:
             p_sh = param_shardings(self.mesh, state.params)
@@ -221,8 +231,10 @@ class Trainer:
         if cfg.in_chans == 4 and x.shape[-1] == 2 * cfg.in_chans:
             x = sample_from_latent(rngs["latent"], x, cfg.latent_scale)
 
+        apply = self.apply_fn if self.apply_fn is not None else self.model.apply
+
         def model_fn(xt, t, **kwargs):
-            out = self.model.apply(
+            out = apply(
                 {"params": params}, xt, t,
                 train=True,
                 rngs={"dropout": rngs["dropout"],

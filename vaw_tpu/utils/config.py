@@ -116,6 +116,8 @@ class TrainConfig:
     resume: Optional[str] = None
     data_axis: int = -1  # -1: all devices on the data axis
     model_axis: int = 1  # tensor-parallel degree
+    pp_stages: int = 1  # pipeline-parallel stages (DiT scan_blocks only)
+    pp_microbatches: int = 0  # 0: defaults to pp_stages
     fsdp: bool = False  # ZeRO-3-style param/opt-state sharding over 'data'
     async_checkpoint: bool = False  # non-blocking Orbax writes
     # gradient rematerialization (reference: models/unet.py use_checkpoint,
@@ -245,6 +247,8 @@ def _add_common_args(p: argparse.ArgumentParser, defaults: dict):
     p.add_argument("--resume", type=str, default=d.resume)
     p.add_argument("--data_axis", type=int, default=d.data_axis)
     p.add_argument("--model_axis", type=int, default=d.model_axis)
+    p.add_argument("--pp_stages", type=int, default=d.pp_stages)
+    p.add_argument("--pp_microbatches", type=int, default=d.pp_microbatches)
     p.add_argument("--fsdp", default=d.fsdp, type=str2bool)
     p.add_argument("--async_checkpoint", default=d.async_checkpoint,
                    type=str2bool)
