@@ -266,3 +266,195 @@ def test_make_inception_backend_env_override(tmp_path, monkeypatch):
     monkeypatch.setenv("VAW_INCEPTION_BACKEND", "jax")
     backend = make_inception_backend("tf", pb_path=pb)
     assert isinstance(backend, InceptionV3JAXFeatures)
+
+
+# --------------------------------------------------------------------- #
+# Inception op-census audit (VERDICT r1 item 3)
+# --------------------------------------------------------------------- #
+
+# Expected node-op census of classify_image_graph_def.pb inside the
+# EVALUATED subgraph — everything from the ExpandDims input surgery
+# (reference: evaluations/evaluator.py:587-601 input_map) to the pool_3 /
+# mixed_6/conv / softmax fetches. Ops upstream of the feed (DecodeJpeg,
+# Cast, Placeholder) are bypassed by the surgery and excluded. The
+# VAW_INCEPTION_PB-gated test below re-derives this census from the real
+# pb when it is present.
+INCEPTION_SUBGRAPH_OPS = {
+    "Const", "Identity", "ResizeBilinear", "Sub", "Mul", "Conv2D",
+    "BatchNormWithGlobalNormalization", "CheckNumerics", "Relu", "MaxPool",
+    "AvgPool", "Concat", "Reshape", "BiasAdd", "MatMul", "Softmax",
+    "ExpandDims",
+}
+
+
+def test_op_census_is_fully_supported():
+    from vaw_tpu.evals.tf_graph import SUPPORTED_OPS
+
+    missing = INCEPTION_SUBGRAPH_OPS - SUPPORTED_OPS
+    assert not missing, f"GraphDef compiler misses Inception ops: {missing}"
+
+
+def _fuse_legacy_batchnorm(gd, towers):
+    """Rewrite a serialized GraphDef: replace each tower's primitive-op
+    batch-norm chain with ONE legacy BatchNormWithGlobalNormalization node
+    (the op modern TF refuses to *build* but still *executes* for old
+    producer versions — exactly how the real 2015 pb runs)."""
+    out = tf.GraphDef()
+    out.versions.producer = 8  # pre-deprecation GraphDef version
+    keep = []
+    for node in gd.node:
+        name = node.name
+        if any(name.startswith(f"{t}/bnarith") for t in towers):
+            continue  # the primitive chain being replaced
+        keep.append(node)
+    for node in keep:
+        n = out.node.add()
+        n.CopyFrom(node)
+        for t in towers:
+            if n.name == f"{t}/relu":
+                del n.input[:]
+                n.input.append(f"{t}/batchnorm")
+    for t in towers:
+        n = out.node.add()
+        n.name = f"{t}/batchnorm"
+        n.op = "BatchNormWithGlobalNormalization"
+        n.input.extend([f"{t}/conv", f"{t}/m", f"{t}/v", f"{t}/beta",
+                        f"{t}/gamma"])
+        n.attr["T"].type = 1  # DT_FLOAT
+        n.attr["variance_epsilon"].f = 0.001
+        n.attr["scale_after_normalization"].b = True
+    return out
+
+
+def _build_inception_composite_pb(tmp_path):
+    """Inception-scale composite: stacked conv towers with the REAL legacy
+    ops — raw BatchNormWithGlobalNormalization nodes, old-style Concat,
+    legacy ResizeBilinear (both align_corners settings), CheckNumerics,
+    SAME-padded AvgPool with edge-window count semantics — the exact op mix
+    of the frozen graph between ExpandDims and pool_3."""
+    rs = np.random.RandomState(11)
+    towers = []
+
+    def conv_bn_relu(x, cin, cout, k, name):
+        towers.append(name)
+        w = tf.constant(rs.randn(k, k, cin, cout).astype(np.float32) * 0.2)
+        y = tf.nn.conv2d(x, w, [1, 1, 1, 1], "SAME", name=f"{name}/conv")
+        m = tf.constant(rs.randn(cout).astype(np.float32) * 0.1,
+                        name=f"{name}/m")
+        v = tf.constant(rs.rand(cout).astype(np.float32) + 0.5,
+                        name=f"{name}/v")
+        beta = tf.constant(rs.randn(cout).astype(np.float32) * 0.1,
+                           name=f"{name}/beta")
+        gamma = tf.constant(rs.randn(cout).astype(np.float32) * 0.1 + 1.0,
+                            name=f"{name}/gamma")
+        # primitive placeholder chain — replaced by ONE legacy node in
+        # _fuse_legacy_batchnorm; only its OUTPUT VALUE matters for graph
+        # construction, the math is re-expressed by the fused node
+        inv = tf.math.rsqrt(tf.add(v, 0.001, name=f"{name}/bnarith/a"),
+                            name=f"{name}/bnarith/b")
+        inv = tf.multiply(inv, gamma, name=f"{name}/bnarith/c")
+        y2 = tf.multiply(y, inv, name=f"{name}/bnarith/d")
+        off = tf.multiply(m, inv, name=f"{name}/bnarith/e")
+        off = tf.subtract(beta, off, name=f"{name}/bnarith/f")
+        y2 = tf.add(y2, off, name=f"{name}/bnarith/g")
+        return tf.nn.relu(y2, name=f"{name}/relu")
+
+    graph = tf.Graph()
+    with graph.as_default():
+        img = tf.placeholder(tf.float32, [10, 10, 3], name="img")
+        x = tf.expand_dims(img, 0, name="ExpandDims")
+        x = tf.image.resize_bilinear(x, (16, 16), align_corners=False)
+        x = tf.raw_ops.CheckNumerics(tensor=x, message="nan")
+        x = tf.subtract(x, 128.0)
+        x = tf.multiply(x, 1.0 / 128.0)
+        x = conv_bn_relu(x, 3, 8, 3, "conv0")
+        x = tf.nn.max_pool(x, [1, 3, 3, 1], [1, 2, 2, 1], "SAME",
+                           name="pool0")
+        # mixed tower: 1x1 / 3x3 / avg-pool-project branches, legacy Concat
+        b0 = conv_bn_relu(x, 8, 4, 1, "tower0")
+        b1 = conv_bn_relu(x, 8, 6, 3, "tower1")
+        ap = tf.nn.avg_pool(x, [1, 3, 3, 1], [1, 1, 1, 1], "SAME",
+                            name="tower2/pool")
+        b2 = conv_bn_relu(ap, 8, 4, 1, "tower2")
+        x = tf.concat([b0, b1, b2], 3, name="mixed/join")
+        spatial = conv_bn_relu(x, 14, 7, 1, "mixed_6")
+        # second resize, align_corners=True (the other legacy flavor)
+        up = tf.image.resize_bilinear(spatial, (9, 9), align_corners=True,
+                                      name="upsample")
+        pooled = tf.nn.avg_pool(up, [1, 9, 9, 1], [1, 1, 1, 1], "VALID",
+                                name="pool_3")
+        flat = tf.reshape(pooled, [1, 7])
+        wsm = tf.constant(rs.randn(7, 5).astype(np.float32) * 0.3)
+        logits = tf.matmul(flat, wsm, name="softmax/logits/MatMul")
+        logits = tf.nn.bias_add(
+            logits, tf.constant(rs.randn(5).astype(np.float32) * 0.1),
+            name="softmax/logits")
+        tf.nn.softmax(logits, name="softmax")
+    gd = _fuse_legacy_batchnorm(graph.as_graph_def(), towers)
+    pb = str(tmp_path / "composite_inception.pb")
+    with open(pb, "wb") as f:
+        f.write(gd.SerializeToString())
+    return pb
+
+
+def test_composite_inception_graph_tf_vs_jax(tmp_path):
+    """jax-vs-tf equality on the inception-scale composite graph, fetched
+    at the same tensors the evaluator uses (pool + spatial + softmax)."""
+    from vaw_tpu.evals.tf_graph import GraphDefFunction, load_graph_def
+
+    pb = _build_inception_composite_pb(tmp_path)
+    gd = load_graph_def(pb)
+    rs = np.random.RandomState(12)
+    img = rs.rand(10, 10, 3).astype(np.float32) * 255.0
+
+    fetches = ["pool_3:0", "mixed_6/relu:0", "softmax:0"]
+    with tf.Session(graph=tf.Graph()) as sess:
+        tf.import_graph_def(gd, name="")
+        tf_out = sess.run(fetches, {"img:0": img})
+
+    fn = GraphDefFunction(gd, feeds=["img:0"], fetches=fetches)
+    jax_out = fn(img)
+    for a, b in zip(tf_out, jax_out):
+        np.testing.assert_allclose(a, np.asarray(b), atol=2e-4, rtol=1e-4)
+
+
+@pytest.mark.skipif(
+    __import__("vaw_tpu.evals.inception", fromlist=["find_inception_pb"]
+               ).find_inception_pb() is None,
+    reason="classify_image_graph_def.pb not present (zero-egress); set "
+           "VAW_INCEPTION_PB to enable the real-graph parity gate",
+)
+def test_real_inception_pb_census_and_parity():
+    """The moment the real frozen graph is available this (a) re-derives
+    the op census from its nodes and checks full compiler coverage, and
+    (b) bit-checks pool_3/spatial/softmax + mu/sigma between the TF
+    session backend and the JAX compilation (the ΔFID ≤ 0.1 gate's
+    foundation, BASELINE.md)."""
+    from vaw_tpu.evals.inception import (
+        InceptionV3Features, InceptionV3JAXFeatures, find_inception_pb,
+    )
+    from vaw_tpu.evals.tf_graph import SUPPORTED_OPS, load_graph_def
+
+    pb = find_inception_pb()
+    gd = load_graph_def(pb)
+    ops = {n.op for n in gd.node}
+    # full-graph census minus the pre-feed input ops the surgery bypasses
+    bypassed = {"DecodeJpeg", "Cast", "Placeholder"}
+    missing = ops - bypassed - SUPPORTED_OPS
+    assert not missing, f"real pb contains unsupported ops: {missing}"
+
+    rs = np.random.RandomState(13)
+    batch = (rs.rand(8, 299, 299, 3) * 255).astype(np.float32)
+    tf_b = InceptionV3Features(pb_path=pb, batch_size=4)
+    jx_b = InceptionV3JAXFeatures(pb_path=pb, batch_size=4)
+    pool_tf, spatial_tf = tf_b.features(batch)
+    pool_j, spatial_j = jx_b.features(batch)
+    np.testing.assert_allclose(pool_tf, pool_j, atol=1e-3, rtol=1e-3)
+    np.testing.assert_allclose(spatial_tf, spatial_j, atol=1e-3, rtol=1e-3)
+    np.testing.assert_allclose(tf_b.softmax_probs(pool_tf),
+                               jx_b.softmax_probs(pool_j),
+                               atol=1e-4, rtol=1e-3)
+    # mu/sigma agreement — what FID actually consumes
+    np.testing.assert_allclose(pool_tf.mean(0), pool_j.mean(0), atol=1e-4)
+    np.testing.assert_allclose(np.cov(pool_tf, rowvar=False),
+                               np.cov(pool_j, rowvar=False), atol=1e-4)

@@ -30,7 +30,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-__all__ = ["GraphDefFunction", "load_graph_def"]
+__all__ = ["GraphDefFunction", "load_graph_def", "SUPPORTED_OPS"]
 
 
 def load_graph_def(pb_path: str):
@@ -187,6 +187,25 @@ _ELEMWISE = {
     "Mul": jnp.multiply, "RealDiv": jnp.divide, "Maximum": jnp.maximum,
     "Minimum": jnp.minimum,
 }
+
+# Every GraphDef op _eval_node dispatches (audited against the
+# classify_image_graph_def.pb census — the evaluated subgraph from the
+# ExpandDims feed to pool_3/spatial/softmax, reference:
+# evaluations/evaluator.py:587-614). tests/test_tf_graph.py asserts the
+# expected census is covered; the VAW_INCEPTION_PB-gated test re-checks
+# against the real pb's node list when present.
+SUPPORTED_OPS = frozenset(
+    list(_ELEMWISE)
+    + [
+        "Const", "Identity", "CheckNumerics", "StopGradient",
+        "PlaceholderWithDefault", "BiasAdd", "Relu", "Relu6", "Rsqrt",
+        "Sqrt", "Square", "Neg", "Softmax", "Conv2D", "MaxPool", "AvgPool",
+        "BatchNormWithGlobalNormalization", "FusedBatchNorm",
+        "FusedBatchNormV3", "Concat", "ConcatV2", "Reshape", "ExpandDims",
+        "Squeeze", "Cast", "MatMul", "ResizeBilinear", "Pad", "Shape",
+        "Mean",
+    ]
+)
 
 
 # --------------------------------------------------------------------- #
