@@ -56,3 +56,35 @@ def test_dit_forward_with_cfg():
     assert out.shape == (4, 8, 8, 3)
     # Both halves must be identical (the reference duplicates half_eps).
     np.testing.assert_allclose(np.asarray(out[:2]), np.asarray(out[2:]))
+
+
+def test_dopri5_warns_when_budget_exhausted(capfd):
+    """An exhausted step budget must be signalled, not returned as silent
+    success (VERDICT r1 weak 8)."""
+    fm = FlowMatching(model_mean_type=ModelMeanType.VECTOR,
+                      path_type="linear", sampler_type="ode")
+    eps = jnp.ones(SHAPE)
+
+    def model(x, t, **kw):
+        return -x
+
+    out = fm._dopri5(model, eps, {}, rtol=1e-6, atol=1e-9, max_steps=2)
+    jax.block_until_ready(out)
+    jax.effects_barrier()
+    captured = capfd.readouterr()
+    assert "UNCONVERGED" in captured.out or "UNCONVERGED" in captured.err
+
+
+def test_dopri5_no_warning_when_converged(capfd):
+    fm = FlowMatching(model_mean_type=ModelMeanType.VECTOR,
+                      path_type="linear", sampler_type="ode")
+    eps = jnp.ones(SHAPE)
+
+    def model(x, t, **kw):
+        return -x
+
+    out = fm._dopri5(model, eps, {}, rtol=1e-3, atol=1e-5)
+    jax.block_until_ready(out)
+    jax.effects_barrier()
+    captured = capfd.readouterr()
+    assert "UNCONVERGED" not in captured.out + captured.err

@@ -300,6 +300,19 @@ class FlowMatching:
         x, t, h, _, steps = jax.lax.while_loop(
             cond, body, (noise, t0, jnp.asarray(0.05), k1, jnp.asarray(0))
         )
+        # The h >= 1e-5 floor and max_steps budget bound compile-time
+        # iteration count; a stiff trajectory that exhausts them would
+        # otherwise return an unconverged answer marked as success. Signal
+        # loudly at runtime (jit-compatible).
+        unconverged = t > 1e-6
+        jax.lax.cond(
+            unconverged,
+            lambda: jax.debug.print(
+                "[flow] WARNING: dopri5 budget exhausted at t={t:.4g} after "
+                "{s} steps (max_steps={m}); result is UNCONVERGED — raise "
+                "max_steps or loosen rtol/atol", t=t, s=steps, m=max_steps),
+            lambda: None,
+        )
         return x
 
     def sde_sample(self, model_fn, rng, noise, num_steps=50, solver="heun",
