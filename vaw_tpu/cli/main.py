@@ -97,21 +97,34 @@ def build_diffusion(cfg, use_ddim: bool = False):
 
 def _build_evaluator(cfg):
     """TF1-graph InceptionV3 metrics stack when the frozen graph + reference
-    stats exist (reference: main.py:370-384); None otherwise."""
+    stats exist (reference: main.py:370-384); None otherwise.
+
+    Degradation policy: with the DEFAULT --ref_batch, a missing stats file
+    or absent frozen graph downgrades to a loud warning (zero-egress
+    environments can still train). A ref batch the user typed is a promise
+    — any failure is then a hard error, not 400k steps of 'FID eval
+    disabled' noise."""
+    from ..utils.config import TrainConfig
+
+    explicit = cfg.ref_batch != TrainConfig.ref_batch
     try:
         from ..evals import Evaluator
 
         if not os.path.exists(cfg.ref_batch):
-            print(f"[eval] ref batch {cfg.ref_batch} not found; "
-                  "FID eval disabled")
-            return None, None, None, None
+            raise FileNotFoundError(
+                f"--ref_batch {cfg.ref_batch} does not exist")
         evaluator = Evaluator()
         ref_acts = evaluator.read_activations(cfg.ref_batch)
         ref_stats, ref_stats_spatial = evaluator.read_statistics(
             cfg.ref_batch, ref_acts
         )
         return evaluator, ref_acts, ref_stats, ref_stats_spatial
-    except Exception as e:  # noqa: BLE001 — eval stack is optional at train time
+    except Exception as e:  # noqa: BLE001 — classified just below
+        if explicit:
+            raise RuntimeError(
+                f"--ref_batch {cfg.ref_batch!r} was given but the evaluator "
+                f"failed to build: {e}. Fix the path/graph or drop the flag."
+            ) from e
         print(f"[eval] evaluator unavailable ({e}); FID eval disabled")
         return None, None, None, None
 
@@ -156,6 +169,7 @@ def init(cfg):
     model = build_model(cfg)
 
     encoder_fn = None
+    align_load_error = None
     if cfg.learn_align:
         try:
             from ..encoders import initialize_encoders
@@ -163,9 +177,12 @@ def init(cfg):
             encoder_fn, _family = initialize_encoders(
                 cfg.enc_type, cfg.image_size
             )
-        except Exception as e:  # noqa: BLE001 — teachers need local weights
+        except Exception as e:  # noqa: BLE001 — validated against the
+            # first batch below: the dataset may legitimately carry
+            # precomputed features (Latent_Pixel), otherwise hard error
+            align_load_error = e
             print(f"[align] teacher encoder unavailable ({e}); "
-                  "align features must come from the dataset")
+                  "checking the dataset for precomputed features")
 
     apply_fn = None
     if cfg.pp_stages > 1:
@@ -179,6 +196,16 @@ def init(cfg):
                       apply_fn=apply_fn)
 
     sample_batch = next(iter(train_loader))
+    if (cfg.learn_align and encoder_fn is None
+            and "features" not in sample_batch
+            and "pixels" not in sample_batch):
+        # --learn_align with no teacher AND no dataset features would
+        # silently train without the align loss the user asked for.
+        raise RuntimeError(
+            f"--learn_align requires teacher weights for {cfg.enc_type!r} "
+            f"(load failed: {align_load_error}) or a dataset with "
+            "precomputed features/pixels (Latent_Pixel)."
+        )
     state = trainer.init_state(jax.random.key(cfg.seed), sample_batch)
 
     if cfg.resume:
@@ -191,7 +218,15 @@ def init(cfg):
             from ..data.vae import load_vae_decoder
 
             vae_decode_fn = load_vae_decoder(cfg.vae)
-        except Exception as e:  # noqa: BLE001
+        except Exception as e:  # noqa: BLE001 — classified just below
+            if cfg.eval:
+                # FID over undecoded latents is garbage; fail before
+                # burning a 400k-step run on it.
+                raise RuntimeError(
+                    f"latent training with --eval True needs the VAE "
+                    f"decoder (sd-vae-ft-{cfg.vae}), which failed to load: "
+                    f"{e}. Provide the weights or pass --eval False."
+                ) from e
             print(f"[vae] decoder unavailable ({e}); "
                   "samples stay in latent space")
 
