@@ -116,6 +116,13 @@ class Trainer:
         self._jitted = None
         self._param_shardings = None
 
+    def _use_fused_opt(self) -> bool:
+        """Fused AdamW+EMA applies when nothing needs the intermediate
+        updates tree: no grad clipping (the optax chain handles that) and
+        not explicitly disabled."""
+        return (not self.cfg.grad_clip
+                and getattr(self.cfg, "fused_optimizer", True))
+
     # ------------------------------------------------------------- #
     # state init
     # ------------------------------------------------------------- #
@@ -346,13 +353,27 @@ class Trainer:
                 state.resampler, ts_aux, loss_aux
             )
 
-        updates, new_opt_state = self.tx.update(
-            grads, state.opt_state, state.params
-        )
-        new_params = optax.apply_updates(state.params, updates)
-        new_ema = ema_update(new_params, state.ema_params, cfg.ema_decay)
+        if self._use_fused_opt():
+            # Single fused pass per leaf (train/fused_opt.py): optax's
+            # update->apply->ema chain costs ~40% extra HBM traffic.
+            from .fused_opt import fused_adamw_ema
+
+            new_params, new_ema, new_opt_state = fused_adamw_ema(
+                state.params, grads, state.opt_state, state.ema_params,
+                lr_fn=warmup_cosine_lr(cfg), b1=cfg.betas[0],
+                b2=cfg.betas[1], eps=cfg.eps, weight_decay=cfg.weight_decay,
+                ema_decay=cfg.ema_decay,
+            )
+        else:
+            updates, new_opt_state = self.tx.update(
+                grads, state.opt_state, state.params
+            )
+            new_params = optax.apply_updates(state.params, updates)
+            new_ema = ema_update(new_params, state.ema_params, cfg.ema_decay)
         metrics["loss"] = loss
-        metrics["grad_norm"] = optax.global_norm(grads)
+        if getattr(cfg, "log_grad_norm", True):
+            # an extra full read of the grads — skippable for benchmarks
+            metrics["grad_norm"] = optax.global_norm(grads)
         new_state = TrainState(
             step=state.step + 1, params=new_params, ema_params=new_ema,
             opt_state=new_opt_state, resampler=new_resampler,

@@ -120,6 +120,8 @@ class TrainConfig:
     pp_microbatches: int = 0  # 0: defaults to pp_stages
     fsdp: bool = False  # ZeRO-3-style param/opt-state sharding over 'data'
     async_checkpoint: bool = False  # non-blocking Orbax writes
+    fused_optimizer: bool = True  # single-pass AdamW+EMA (train/fused_opt)
+    log_grad_norm: bool = True  # costs one extra full grad read per step
     # gradient rematerialization (reference: models/unet.py use_checkpoint,
     # tools/nn.py:124-170) and scan-compiled DiT blocks (TPU extension)
     use_checkpoint: bool = False
@@ -250,6 +252,9 @@ def _add_common_args(p: argparse.ArgumentParser, defaults: dict):
     p.add_argument("--pp_stages", type=int, default=d.pp_stages)
     p.add_argument("--pp_microbatches", type=int, default=d.pp_microbatches)
     p.add_argument("--fsdp", default=d.fsdp, type=str2bool)
+    p.add_argument("--fused_optimizer", default=d.fused_optimizer,
+                   type=str2bool)
+    p.add_argument("--log_grad_norm", default=d.log_grad_norm, type=str2bool)
     p.add_argument("--async_checkpoint", default=d.async_checkpoint,
                    type=str2bool)
     p.add_argument("--use_checkpoint", default=d.use_checkpoint,
