@@ -4,6 +4,7 @@ torch.save, tools/utils.py:93-107; async writes are the TPU extension noted
 in SURVEY.md section 5)."""
 
 import jax
+import pytest
 import numpy as np
 
 from vaw_tpu.core import (
@@ -16,6 +17,7 @@ from vaw_tpu.train.checkpoint import AsyncCheckpointWriter
 from vaw_tpu.utils.config import TrainConfig
 
 
+@pytest.mark.slow
 def test_async_checkpoint_roundtrip(tmp_path):
     cfg = TrainConfig(
         model="DiT-S", image_size=8, in_chans=4, patch_size=2,

@@ -183,9 +183,11 @@ UNET_BASE = dict(image_size=16, in_channels=3, model_channels=32,
 
 
 @pytest.mark.parametrize("case", [
-    dict(num_classes=10, drop_label_prob=0.1, use_scale_shift_norm=True,
-         resblock_updown=True, num_head_channels=16, num_heads=1,
-         out_mult=2),
+    pytest.param(
+        dict(num_classes=10, drop_label_prob=0.1, use_scale_shift_norm=True,
+             resblock_updown=True, num_head_channels=16, num_heads=1,
+             out_mult=2),
+        marks=pytest.mark.slow),
     dict(num_classes=0, use_scale_shift_norm=False, resblock_updown=False,
          conv_resample=True, num_heads=2, num_head_channels=-1, out_mult=1),
     dict(num_classes=0, use_scale_shift_norm=False, resblock_updown=True,

@@ -50,6 +50,7 @@ def test_build_classifier_requires_unet():
         build_classifier(cfg)
 
 
+@pytest.mark.slow
 def test_build_classifier_orbax_roundtrip(tmp_path, tiny_unet_registry):
     ckpt = str(tmp_path / "clf_ckpt")
     cfg = _cfg(tiny_unet_registry, ckpt)

@@ -89,8 +89,13 @@ def _run_steps(cfg, n=3):
 
 
 def test_trainer_fused_vs_unfused_states_match():
-    s_fused, m_fused = _run_steps(_cfg(fused_optimizer=True))
+    # fused run doubles as the log_grad_norm=False coverage (one compile
+    # fewer in the default suite)
+    s_fused, m_fused = _run_steps(
+        _cfg(fused_optimizer=True, log_grad_norm=False))
     s_plain, m_plain = _run_steps(_cfg(fused_optimizer=False))
+    assert "grad_norm" not in m_fused
+    assert "grad_norm" in m_plain
     np.testing.assert_allclose(float(m_fused["loss"]),
                                float(m_plain["loss"]), rtol=1e-6)
     jax.tree_util.tree_map(
@@ -113,8 +118,3 @@ def test_grad_clip_forces_optax_path():
     assert not trainer._use_fused_opt()
 
 
-def test_log_grad_norm_flag():
-    _, m_on = _run_steps(_cfg(), n=1)
-    assert "grad_norm" in m_on
-    _, m_off = _run_steps(_cfg(log_grad_norm=False), n=1)
-    assert "grad_norm" not in m_off

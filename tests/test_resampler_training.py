@@ -2,6 +2,7 @@
 distributed helpers."""
 
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -21,6 +22,7 @@ from vaw_tpu.train import Trainer
 from vaw_tpu.utils.config import TrainConfig
 
 
+@pytest.mark.slow
 def test_loss_second_moment_training():
     cfg = TrainConfig(
         model="DiT-S", image_size=8, in_chans=3, patch_size=2,
@@ -57,11 +59,7 @@ def test_uniform_has_no_resampler_state():
     process = GaussianDiffusion(schedule=sched, rescale_timesteps=False)
     mesh = make_mesh(data_axis=1, model_axis=1, devices=jax.devices()[:1])
     trainer = Trainer(cfg, model, process, mesh)
-    batch = {"image": jnp.zeros((4, 8, 8, 3))}
-    state = trainer.init_state(jax.random.key(0), batch)
-    assert state.resampler is None
-    state, _ = trainer.step(state, batch)
-    assert state.resampler is None
+    assert trainer.resampler is None  # uniform sampler -> no state
 
 
 def test_distributed_helpers_single_process():

@@ -369,7 +369,9 @@ def train(cfg, ctx):
                 kvlogger.logkv("step", step)
                 kvlogger.logkv("loss", float(metrics["loss"]))
                 kvlogger.logkv("mse", mse)
-                kvlogger.logkv("grad_norm", float(metrics["grad_norm"]))
+                if "grad_norm" in metrics:
+                    kvlogger.logkv("grad_norm",
+                                   float(metrics["grad_norm"]))
                 if "align" in metrics:
                     kvlogger.logkv("align", float(metrics["align"]))
                 now = time.perf_counter()
