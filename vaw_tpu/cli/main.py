@@ -138,11 +138,24 @@ def init(cfg):
         from ..parallel import make_pp_mesh
 
         assert cfg.model_axis == 1, "--pp_stages composes with dp, not tp"
+        assert cfg.sp_degree == 1, "--pp_stages and --sp_degree are exclusive"
         assert cfg.scan_blocks, "--pp_stages requires --scan_blocks"
         assert cfg.model.startswith("DiT"), (
             "--pp_stages supports the DiT family (scan-blocks layout)"
         )
         mesh = make_pp_mesh(cfg.pp_stages)
+    elif cfg.sp_degree > 1:
+        # Sequence parallelism: ('data','sp') mesh, DiT attention as a
+        # ppermute ring (parallel/sp_dit.py). TPU extension.
+        from jax.sharding import Mesh
+
+        assert cfg.model_axis == 1, "--sp_degree composes with dp, not tp"
+        assert cfg.model.startswith("DiT"), (
+            "--sp_degree supports the DiT family"
+        )
+        devs = np.array(jax.devices())
+        assert len(devs) % cfg.sp_degree == 0, (len(devs), cfg.sp_degree)
+        mesh = Mesh(devs.reshape(-1, cfg.sp_degree), ("data", "sp"))
     else:
         mesh = make_mesh(data_axis=cfg.data_axis, model_axis=cfg.model_axis)
     generate_logdir(cfg)
@@ -192,6 +205,11 @@ def init(cfg):
             model, mesh, cfg.pp_microbatches or cfg.pp_stages,
             batch_axis="data",
         )
+    elif cfg.sp_degree > 1:
+        from ..parallel import sequence_parallel_dit_apply
+
+        apply_fn = sequence_parallel_dit_apply(model, mesh,
+                                               batch_axis="data")
     trainer = Trainer(cfg, model, diffusion, mesh, encoder_fn=encoder_fn,
                       apply_fn=apply_fn)
 

@@ -15,6 +15,7 @@ from __future__ import annotations
 from typing import Optional
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from .layers import (
@@ -40,6 +41,7 @@ class DiTBlock(nn.Module):
     hidden_size: int
     num_heads: int
     mlp_ratio: float = 4.0
+    seq_axis: Optional[str] = None  # sequence-parallel ring attention
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -54,6 +56,7 @@ class DiTBlock(nn.Module):
                              dtype=jnp.float32)
         attn_out = MultiHeadSelfAttention(
             num_heads=self.num_heads, qkv_bias=True, dtype=self.dtype,
+            seq_axis=self.seq_axis,
         )(modulate(norm1(x).astype(self.dtype), shift_msa, scale_msa))
         x = x + gate_msa[:, None] * attn_out
         mlp_out = Mlp(
@@ -112,6 +115,10 @@ class DiT(nn.Module):
     # (parallel/pipeline.py). Incompatible with the REPA tap (needs an
     # unrolled per-block tap point) and with the name-based TP rules.
     scan_blocks: bool = False
+    # Sequence parallelism (TPU extension; parallel/sp_dit.py): the model
+    # runs inside a shard_map whose `seq_axis` shards the image rows —
+    # per-token compute stays local, attention rides the ppermute ring.
+    seq_axis: Optional[str] = None
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -122,10 +129,19 @@ class DiT(nn.Module):
         assert not self.learn_align or self.encoder_depth > 0
 
         x = x.astype(self.dtype)
+        local_h = x.shape[1] // self.patch_size  # rows of the token grid
         x = PatchEmbed(self.patch_size, self.hidden_size, dtype=self.dtype)(x)
         grid = self.image_size // self.patch_size
         pos_embed = get_2d_sincos_pos_embed(self.hidden_size, grid)  # constant
-        x = x + jnp.asarray(pos_embed, self.dtype)[None]
+        pos_embed = jnp.asarray(pos_embed, self.dtype)
+        if self.seq_axis is not None:
+            # this shard owns token rows [idx*local_h, (idx+1)*local_h)
+            idx = jax.lax.axis_index(self.seq_axis)
+            table = pos_embed.reshape(grid, grid, self.hidden_size)
+            table = jax.lax.dynamic_slice_in_dim(table, idx * local_h,
+                                                 local_h, axis=0)
+            pos_embed = table.reshape(local_h * grid, self.hidden_size)
+        x = x + pos_embed[None]
 
         c = TimestepEmbedder(self.hidden_size, dtype=self.dtype)(t)
         if self.num_classes > 0:
@@ -149,7 +165,7 @@ class DiT(nn.Module):
             return x.astype(jnp.float32), zs
         for i in range(self.depth):
             x = block_cls(self.hidden_size, self.num_heads, self.mlp_ratio,
-                          dtype=self.dtype)(x, c)
+                          seq_axis=self.seq_axis, dtype=self.dtype)(x, c)
             if self.learn_align and (i + 1) == self.encoder_depth:
                 # REPA projector tap (reference: models/dit.py:27-34, 272-275).
                 h = nn.Dense(self.projector_dim, dtype=self.dtype,
@@ -168,6 +184,7 @@ class DiT(nn.Module):
 
     def _scan_blocks(self, block_cls, x, c):
         """lax.scan one compiled block over stacked [depth, ...] params."""
+        seq_axis = self.seq_axis
 
         class Body(nn.Module):
             hidden_size: int
@@ -178,7 +195,8 @@ class DiT(nn.Module):
             @nn.compact
             def __call__(self, x, c):
                 x = block_cls(self.hidden_size, self.num_heads,
-                              self.mlp_ratio, dtype=self.dtype)(x, c)
+                              self.mlp_ratio, seq_axis=seq_axis,
+                              dtype=self.dtype)(x, c)
                 return x, None
 
         scan = nn.scan(
@@ -208,10 +226,14 @@ class DiT(nn.Module):
 
     def _unpatchify(self, x, out_channels):
         """[N, T, p*p*C] -> [N, H, W, C] (reference: models/dit.py:243-256,
-        producing NHWC directly instead of transposing to NCHW)."""
+        producing NHWC directly instead of transposing to NCHW). Under
+        sequence parallelism T is a row-shard of the square grid."""
         n, t, _ = x.shape
         p = self.patch_size
-        h = w = int(t ** 0.5)
+        w = self.image_size // self.patch_size
+        if self.seq_axis is None:
+            w = int(t ** 0.5)
+        h = t // w
         assert h * w == t
         x = x.reshape(n, h, w, p, p, out_channels)
         x = jnp.einsum("nhwpqc->nhpwqc", x)

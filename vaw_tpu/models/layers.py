@@ -213,6 +213,11 @@ class MultiHeadSelfAttention(nn.Module):
     num_heads: int
     qkv_bias: bool = True
     dtype: jnp.dtype = jnp.float32
+    # Sequence parallelism: when set, x's token dim is a LOCAL shard of a
+    # sequence sharded over this shard_map axis, and attention runs as a
+    # ppermute ring (parallel/ring_attention.py). Only valid inside an
+    # active shard_map providing the axis (parallel/sp_dit.py).
+    seq_axis: Optional[str] = None
 
     @nn.compact
     def __call__(self, x):
@@ -230,7 +235,12 @@ class MultiHeadSelfAttention(nn.Module):
         q = q.reshape(n, t, self.num_heads, head_dim)
         k = k.reshape(n, t, self.num_heads, head_dim)
         v = v.reshape(n, t, self.num_heads, head_dim)
-        out = multi_head_attention(q, k, v)
+        if self.seq_axis is not None:
+            from ..parallel.ring_attention import ring_attention_local
+
+            out = ring_attention_local(q, k, v, self.seq_axis)
+        else:
+            out = multi_head_attention(q, k, v)
         out = out.reshape(n, t, d)
         return nn.Dense(d, dtype=self.dtype, kernel_init=xavier_uniform_init)(out)
 

@@ -8,6 +8,7 @@ from .mesh import (
 )
 from .pipeline import pipeline, stack_stage_params
 from .dit_pipeline import pipelined_dit_apply, stage_block_params
+from .sp_dit import sequence_parallel_dit_apply
 from .partition import (
     fsdp_param_shardings,
     fsdp_partition_specs,
@@ -28,4 +29,5 @@ __all__ = [
     "tree_shardings_like",
     "pipeline", "stack_stage_params",
     "pipelined_dit_apply", "stage_block_params",
+    "sequence_parallel_dit_apply",
 ]

@@ -28,7 +28,7 @@ try:
 except ImportError:  # older jax
     from jax.experimental.shard_map import shard_map
 
-__all__ = ["ring_attention"]
+__all__ = ["ring_attention", "ring_attention_local"]
 
 
 def _chunk_attention(q, k, v, m_i, l_i, acc, scale):
@@ -47,6 +47,19 @@ def _chunk_attention(q, k, v, m_i, l_i, acc, scale):
     return m_new, l_i, acc
 
 
+def ring_attention_local(q_loc, k_loc, v_loc, axis: str,
+                         scale: Optional[float] = None):
+    """Ring attention body for use INSIDE an already-active shard_map whose
+    `axis` shards the token dim: local q/k/v [B, Tl, H, D] -> local out.
+    This is what model integrations call (e.g. the sequence-parallel DiT,
+    parallel/sp_dit.py); `ring_attention` below wraps it in its own
+    shard_map for standalone use."""
+    if scale is None:
+        scale = 1.0 / math.sqrt(q_loc.shape[-1])
+    n_dev = jax.lax.psum(1, axis)
+    return _ring_body(q_loc, k_loc, v_loc, axis, scale, n_dev)
+
+
 def ring_attention(q, k, v, mesh: Mesh, axis: str = "sp",
                    scale: Optional[float] = None):
     """Sequence-parallel MHA. q/k/v: [B, T, H, D] with T sharded over
@@ -59,21 +72,26 @@ def ring_attention(q, k, v, mesh: Mesh, axis: str = "sp",
     assert t % n_dev == 0, (t, n_dev)
 
     def body(q_loc, k_loc, v_loc):
+        return _ring_body(q_loc, k_loc, v_loc, axis, scale, n_dev)
+
+    spec = P(None, axis, None, None)
+    return shard_map(
+        body, mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec,
+    )(q, k, v)
+
+
+def _ring_body(q_loc, k_loc, v_loc, axis, scale, n_dev):
         # local shapes: [B, T/S, H, D] -> head-major [B, H, T/S, D]
         ql = q_loc.transpose(0, 2, 1, 3).astype(jnp.float32)
         kl = k_loc.transpose(0, 2, 1, 3)
         vl = v_loc.transpose(0, 2, 1, 3)
-        m_i = jnp.full(ql.shape[:-1], -1e30, jnp.float32)
-        l_i = jnp.zeros(ql.shape[:-1], jnp.float32)
-        acc = jnp.zeros_like(ql)
-        # The softmax statistics become device-varying after the first chunk
-        # (acc already is — it derives from the sharded q); mark the initial
-        # zeros for the shard_map VMA type system.
-        try:
-            m_i = jax.lax.pcast(m_i, (axis,), to="varying")
-            l_i = jax.lax.pcast(l_i, (axis,), to="varying")
-        except (AttributeError, TypeError):
-            pass  # older jax without VMA tracking
+        # Derive the softmax statistics from ql so they inherit its varying
+        # manual axes (ALL mesh axes ql varies over — 'sp' alone on a 1D
+        # mesh, ('data','sp') when composed with dp); fresh constants would
+        # fail the shard_map VMA carry check after the first ppermute.
+        m_i = ql[..., 0] * 0.0 - 1e30
+        l_i = ql[..., 0] * 0.0
+        acc = ql * 0.0
 
         perm = [(i, (i + 1) % n_dev) for i in range(n_dev)]
 
@@ -91,8 +109,3 @@ def ring_attention(q, k, v, mesh: Mesh, axis: str = "sp",
         )
         out = acc / l_i[..., None]
         return out.transpose(0, 2, 1, 3).astype(q_loc.dtype)
-
-    spec = P(None, axis, None, None)
-    return shard_map(
-        body, mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec,
-    )(q, k, v)

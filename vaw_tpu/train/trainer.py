@@ -179,6 +179,11 @@ class Trainer:
                 "fsdp+pp composition is not supported; run pp with dp only"
             )
             p_sh = pp_param_shardings(self.mesh, state.params)
+        elif "model" not in self.mesh.shape:
+            # sp (or other custom) mesh without a tensor-parallel axis:
+            # params replicate — the name-based TP rules reference 'model'
+            rep = replicated_sharding(self.mesh)
+            p_sh = jax.tree_util.tree_map(lambda _: rep, state.params)
         elif getattr(self.cfg, "fsdp", False):
             p_sh = fsdp_param_shardings(self.mesh, state.params)
         else:

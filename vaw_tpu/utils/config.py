@@ -118,6 +118,7 @@ class TrainConfig:
     model_axis: int = 1  # tensor-parallel degree
     pp_stages: int = 1  # pipeline-parallel stages (DiT scan_blocks only)
     pp_microbatches: int = 0  # 0: defaults to pp_stages
+    sp_degree: int = 1  # sequence-parallel (ring attention) degree, DiT
     fsdp: bool = False  # ZeRO-3-style param/opt-state sharding over 'data'
     async_checkpoint: bool = False  # non-blocking Orbax writes
     fused_optimizer: bool = True  # single-pass AdamW+EMA (train/fused_opt)
@@ -251,6 +252,7 @@ def _add_common_args(p: argparse.ArgumentParser, defaults: dict):
     p.add_argument("--model_axis", type=int, default=d.model_axis)
     p.add_argument("--pp_stages", type=int, default=d.pp_stages)
     p.add_argument("--pp_microbatches", type=int, default=d.pp_microbatches)
+    p.add_argument("--sp_degree", type=int, default=d.sp_degree)
     p.add_argument("--fsdp", default=d.fsdp, type=str2bool)
     p.add_argument("--fused_optimizer", default=d.fused_optimizer,
                    type=str2bool)
