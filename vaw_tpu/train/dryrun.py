@@ -97,6 +97,10 @@ def dryrun_multichip(n_devices: int) -> None:
         # (parallel/dit_pipeline.py), checked for dp-equality.
         pp_loss = _dryrun_dit_pipeline(devices, cfg, process, batch)
 
+        # Sequence parallelism: ring-attention DiT on a ('data','sp') mesh
+        # must reproduce the plain forward exactly.
+        _dryrun_sp_dit(devices)
+
     # Hermeticity check: no live buffer may have landed off-CPU.
     non_cpu = {
         d.platform
@@ -108,6 +112,35 @@ def dryrun_multichip(n_devices: int) -> None:
     print(f"dryrun_multichip({n_devices}): mesh="
           f"{dict(zip(mesh.axis_names, mesh.devices.shape))} "
           f"losses={losses} pp_loss={pp_loss:.4f} OK")
+
+
+def _dryrun_sp_dit(devices) -> None:
+    """Forward equality: sequence-parallel (ring attention) DiT vs plain
+    apply on a ('data','sp') mesh (parallel/sp_dit.py)."""
+    from jax.sharding import Mesh
+
+    from ..parallel.sp_dit import sequence_parallel_dit_apply
+
+    sp = 4 if len(devices) >= 8 else 2
+    dp = max(len(devices) // sp, 1)
+    mesh = Mesh(np.array(devices[: dp * sp]).reshape(dp, sp),
+                ("data", "sp"))
+    model = DiT(image_size=16, patch_size=2, in_channels=4, hidden_size=32,
+                depth=2, num_heads=2, num_classes=10,
+                class_dropout_prob=0.0)
+    rs = np.random.RandomState(3)
+    x = jnp.asarray(rs.randn(2 * dp, 16, 16, 4), jnp.float32)
+    t = jnp.zeros((2 * dp,), jnp.float32)
+    y = jnp.arange(2 * dp) % 10
+    variables = model.init(
+        {"params": jax.random.key(0), "label_dropout": jax.random.key(1)},
+        x, t, y)
+    ref, _ = model.apply(variables, x, t, y)
+    apply_fn = sequence_parallel_dit_apply(model, mesh, batch_axis="data")
+    out, _ = jax.jit(lambda v, x, t, y: apply_fn(v, x, t, y))(
+        variables, x, t, y)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-4, rtol=1e-4)
 
 
 def _dryrun_dit_pipeline(devices, cfg, process, batch) -> float:
