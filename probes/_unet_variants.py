@@ -62,6 +62,6 @@ def run(batch, use_checkpoint, analyze=False):
     return dt
 
 
-run(64, False, analyze=True)
+run(64, False, analyze=False)
 run(96, False)
 run(128, True)
