@@ -52,6 +52,7 @@ def main():
         num_classes=1000, class_cond=True, batch_size=batch,
         weight_type="lambda", mean_type="EPSILON", path_type="cosine",
         drop_label_prob=0.1, amp=True, lr=1e-4, betas=(0.9, 0.95),
+        log_grad_norm=False,  # skip the metric-only extra grad read
     )
     model = DiT_B(
         image_size=32, patch_size=2, in_channels=4, class_dropout_prob=0.1,
