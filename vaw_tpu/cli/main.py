@@ -288,7 +288,14 @@ def _make_sampler(cfg, ctx, ema: bool = True) -> Sampler:
 
 
 def generate_samples(cfg, step, ctx, save_grid=False):
-    """(reference: tools/utils.py:123-165)"""
+    """(reference: tools/utils.py:123-165)
+
+    Multi-host: the jitted sampling program consumes the globally-sharded
+    EMA state, so EVERY process must execute it (same pattern as the
+    reference's all-rank sampling + rank-0 save, tools/sampler.py:232-247,
+    utils.py:135-161); only the IO below is main-process-gated."""
+    from ..parallel.distributed import is_main_process
+
     sampler = _make_sampler(cfg, ctx)
     n = 64 if save_grid else cfg.num_samples
     samples, labels = sampler.sample(
@@ -296,21 +303,30 @@ def generate_samples(cfg, step, ctx, save_grid=False):
         min(cfg.sample_size, n), cfg.image_size, cfg.num_classes,
         progress_bar=not save_grid,
     )
-    if save_grid:
-        path = save_grid_png(cfg.logdir, step, samples)
-        print(f"[sample] grid saved: {path}")
-    else:
-        save_eval_npz(cfg.logdir, cfg.dataset, samples, labels)
+    if is_main_process():
+        if save_grid:
+            path = save_grid_png(cfg.logdir, step, samples)
+            print(f"[sample] grid saved: {path}")
+        else:
+            save_eval_npz(cfg.logdir, cfg.dataset, samples, labels)
     return samples
 
 
 def evaluate(cfg, step, ctx):
-    """(reference: main.py:258-275, tools/utils.py:168-188)"""
+    """(reference: main.py:258-275, tools/utils.py:168-188)
+
+    Sampling is collective (all processes); the Inception/metrics stack
+    and CSV run on the main process only (reference: rank-0 evaluator,
+    main.py:370-384)."""
+    from ..parallel.distributed import is_main_process
+
     evaluator = ctx["evaluator"]
     if evaluator is None:
         print("[eval] skipped (no evaluator)")
         return
     arr = generate_samples(cfg, step, ctx, save_grid=False)
+    if not is_main_process():
+        return
     batches = [arr[i: i + cfg.sample_size]
                for i in range(0, len(arr), cfg.sample_size)]
     sample_acts = evaluator.compute_activations(batches)
@@ -402,8 +418,8 @@ def train(cfg, ctx):
                 kvlogger.dumpkvs()
             pbar.update(1)
 
-            if (main_proc and cfg.sample_freq > 0
-                    and step % cfg.sample_freq == 0):
+            if cfg.sample_freq > 0 and step % cfg.sample_freq == 0:
+                # collective on all processes; IO gated inside
                 generate_samples(cfg, step, ctx, save_grid=True)
             if cfg.save_step > 0 and step % cfg.save_step == 0:
                 # collective on all processes (multi-host Orbax write)
@@ -415,8 +431,9 @@ def train(cfg, ctx):
                     path = save_checkpoint(cfg, step, state)
                     if main_proc:
                         print(f"Checkpoint saved: {path}")
-            if (main_proc and cfg.eval and cfg.eval_step > 0
+            if (cfg.eval and cfg.eval_step > 0
                     and step % cfg.eval_step == 0):
+                # collective sampling on all processes; metrics gated inside
                 evaluate(cfg, step, ctx)
     if async_writer is not None:
         async_writer.wait()
@@ -452,13 +469,11 @@ def main(argv=None):
     if cfg.train:
         train(cfg, ctx)
     if cfg.eval and not cfg.train:
-        from ..parallel.distributed import is_main_process
-
         assert cfg.resume, (
             "Evaluation requires a checkpoint path provided with --resume"
         )
-        if is_main_process():
-            evaluate(cfg, int(ctx["state"].step), ctx)
+        # collective sampling on all processes; metrics gated inside
+        evaluate(cfg, int(ctx["state"].step), ctx)
 
 
 if __name__ == "__main__":

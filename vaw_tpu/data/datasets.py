@@ -305,7 +305,8 @@ class SlabShuffleLoader:
         self.shard_index = shard_index
 
     def __len__(self):
-        n = len(self.dataset) // self.num_shards
+        # ceil-divide: shards are wrap-padded to equal length (see __iter__)
+        n = -(-len(self.dataset) // self.num_shards)
         return n // self.batch_size if self.drop_last else math.ceil(
             n / self.batch_size
         )
@@ -318,7 +319,10 @@ class SlabShuffleLoader:
         if self.shuffle:
             rs.shuffle(starts)
         if self.num_shards > 1:
-            # multi-host: disjoint SLABS per process (same shared shuffle)
+            # multi-host: disjoint SLABS per process (same shared shuffle),
+            # wrap-padded so every process sees the same slab count
+            total = -(-len(starts) // self.num_shards) * self.num_shards
+            starts = starts + starts[: total - len(starts)]
             starts = starts[self.shard_index::self.num_shards]
         carry: Optional[Dict[str, np.ndarray]] = None
         for s in starts:
@@ -368,7 +372,8 @@ class BatchLoader:
         self.shard_index = shard_index
 
     def __len__(self):
-        n = len(self.dataset) // self.num_shards
+        # ceil-divide: shards are wrap-padded to equal length (see __iter__)
+        n = -(-len(self.dataset) // self.num_shards)
         return n // self.batch_size if self.drop_last else math.ceil(
             n / self.batch_size
         )
@@ -380,6 +385,13 @@ class BatchLoader:
             rs = np.random.RandomState(self.seed + self.epoch)
             rs.shuffle(idx)
         if self.num_shards > 1:
+            # pad with wrap-around so every process gets the SAME number of
+            # indices/batches (DistributedSampler semantics, reference
+            # main.py:166-180) — unequal shards would desync collective
+            # epoch-aligned consumers across hosts
+            total = -(-n // self.num_shards) * self.num_shards
+            if total > n:
+                idx = np.concatenate([idx, idx[: total - n]])
             idx = idx[self.shard_index::self.num_shards]
         self.epoch += 1
         n = len(idx)

@@ -38,23 +38,26 @@ def initialize_encoders(enc_type: str, image_size: int, dtype=jnp.float32):
 
 def preprocess_raw_image(x: jnp.ndarray, enc_type: str) -> jnp.ndarray:
     """uint8-range NHWC pixels [0,255] -> normalized teacher input
-    (reference: tools/align_utils.py:19-40)."""
+    (reference: tools/align_utils.py:19-40). The family->resolution policy
+    is `loaders.runtime_image_size` — the SAME function the loader uses to
+    pick the pos-embed resample grid, so the two can never drift."""
+    from .loaders import runtime_image_size
+
+    family = enc_type.split("-")[0]
     resolution = x.shape[1]
+    target = runtime_image_size(family, resolution)
     x = x / 255.0
     if "clip" in enc_type:
-        target = 224 * max(resolution // 256, 1)
         x = jax.image.resize(
             x, (x.shape[0], target, target, 3), method="bicubic"
         )
         x = (x - CLIP_MEAN) / CLIP_STD
-    elif "mocov3" in enc_type or "mae" in enc_type or "dinov1" in enc_type:
+    else:
         x = (x - IMAGENET_MEAN) / IMAGENET_STD
-    elif "dinov2" in enc_type or "jepa" in enc_type:
-        x = (x - IMAGENET_MEAN) / IMAGENET_STD
-        target = 224 * max(resolution // 256, 1)
-        x = jax.image.resize(
-            x, (x.shape[0], target, target, 3), method="bicubic"
-        )
+        if target != resolution:  # dinov2/jepa resize AFTER normalize
+            x = jax.image.resize(
+                x, (x.shape[0], target, target, 3), method="bicubic"
+            )
     return x
 
 

@@ -130,7 +130,6 @@ def resample_pos_embed(pos: np.ndarray, target_grid: int,
 def convert_timm_vit(sd: Dict[str, np.ndarray], depth: int,
                      layer_scale: bool = False,
                      use_cls_token: bool = True,
-                     fixed_sincos_pos: bool = False,
                      pre_norm: bool = False,
                      final_norm: bool = True,
                      target_grid: Optional[int] = None) -> Dict:

@@ -59,9 +59,17 @@ def sequence_parallel_dit_apply(model: DiT, mesh: Mesh,
     def apply_fn(variables, x, t, y=None, train: bool = False,
                  force_drop_ids=None, rngs=None):
         def body(params, x, t, y):
+            local_rngs = rngs
+            if rngs and batch_axis is not None:
+                # Closure-captured rngs replicate across the mesh; fold in
+                # the data-shard index so label-dropout masks are i.i.d.
+                # per sample rather than identical on every data shard.
+                idx = jax.lax.axis_index(batch_axis)
+                local_rngs = {k: jax.random.fold_in(r, idx)
+                              for k, r in rngs.items()}
             out, zs = sp_model.apply(
                 {"params": params}, x, t, y, train=train,
-                force_drop_ids=force_drop_ids, rngs=rngs,
+                force_drop_ids=force_drop_ids, rngs=local_rngs,
             )
             return out
 

@@ -50,6 +50,18 @@ class Sampler:
         self.diffusion = diffusion
         self.vae_decode_fn = vae_decode_fn
         self.classifier_fn = classifier_fn
+        if classifier_fn is not None and not (
+                cfg.model_mode == "diffusion" and cfg.solver == "ddim"):
+            # Classifier gradient guidance exists only on the DDIM/ancestral
+            # path (reference: cond_fn plumbed into the diffusion loops,
+            # gaussian_diffusion.py:422-459; the EDM/flow samplers have no
+            # classifier hook). Dropping it silently would return unguided
+            # samples the user believes are guided.
+            raise ValueError(
+                "--use_classifier requires --model_mode diffusion "
+                f"--solver ddim (got model_mode={cfg.model_mode!r}, "
+                f"solver={cfg.solver!r})"
+            )
         self.params = params
         if params is None:
             self._apply = lambda p, x, t, **kw: model_fn(x, t, **kw)
