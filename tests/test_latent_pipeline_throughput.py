@@ -51,6 +51,7 @@ def test_latent_dataset_layout_and_values(latents_h5):
     )
 
 
+@pytest.mark.slow  # perf floor — flaky under concurrent load (1-core box)
 def test_latent_loader_throughput_floor(latents_h5):
     ds = LatentDataset(latents_h5, "train")
     loader = SlabShuffleLoader(ds, batch_size=256, slab_size=1024,
