@@ -101,3 +101,51 @@ def test_init_divides_batch_across_processes(monkeypatch, tmp_path):
             "--eval", "False", "--amp", "False", "--logdir", str(tmp_path),
         ])
         init(bad)
+
+
+def test_generate_samples_collective_on_all_processes(monkeypatch, tmp_path):
+    """The jitted sampling program consumes globally-sharded EMA state, so
+    a NON-main process must still run it (rank-0-only execution would
+    crash/desync a real 2-host run); only the PNG/npz IO is gated."""
+    from vaw_tpu.cli import main as cli_main
+
+    sampled = {"count": 0}
+
+    class _FakeSampler:
+        def sample(self, *a, **kw):
+            sampled["count"] += 1
+            arr = np.zeros((4, 8, 8, 3), np.uint8)
+            return arr, np.zeros((4,), np.int32)
+
+    monkeypatch.setattr(cli_main, "_make_sampler",
+                        lambda cfg, ctx: _FakeSampler())
+    saved = {"grid": 0}
+    monkeypatch.setattr(cli_main, "save_grid_png",
+                        lambda *a, **kw: saved.__setitem__(
+                            "grid", saved["grid"] + 1) or "p.png")
+
+    cfg = TrainConfig(logdir=str(tmp_path), num_samples=4, sample_size=4,
+                      image_size=8, num_classes=0)
+    _fake_two_process(monkeypatch, 1)  # non-main process
+    cli_main.generate_samples(cfg, 1, {}, save_grid=True)
+    assert sampled["count"] == 1  # sampling RAN
+    assert saved["grid"] == 0     # IO did not
+
+    _fake_two_process(monkeypatch, 0)  # main process
+    cli_main.generate_samples(cfg, 2, {}, save_grid=True)
+    assert sampled["count"] == 2
+    assert saved["grid"] == 1
+
+
+def test_shards_equal_length_with_remainder():
+    """Wrap-around padding: every process sees the same number of batches
+    even when len(dataset) % num_shards != 0 (DistributedSampler
+    semantics)."""
+    ds = GaussianDataset(image_size=4, channels=1, length=11)
+    loaders = [
+        BatchLoader(ds, batch_size=2, shuffle=True, seed=0, drop_last=True,
+                    num_shards=2, shard_index=i)
+        for i in (0, 1)
+    ]
+    counts = [sum(1 for _ in iter(ld)) for ld in loaders]
+    assert counts[0] == counts[1] == len(loaders[0]) == 3  # ceil(11/2)=6 -> 3
