@@ -57,18 +57,27 @@ def _install_stubs():
     sys.path.insert(0, REFERENCE_ROOT)
     ref_timm = importlib.import_module("tools.timm")
 
-    timm = types.ModuleType("timm")
-    models = types.ModuleType("timm.models")
-    vit_mod = types.ModuleType("timm.models.vision_transformer")
+    import importlib.machinery as _machinery
+
+    def _mod(name):
+        m = types.ModuleType(name)
+        # transformers probes dependencies via importlib.util.find_spec;
+        # a stub without __spec__ raises "<name>.__spec__ is None"
+        m.__spec__ = _machinery.ModuleSpec(name, loader=None)
+        return m
+
+    timm = _mod("timm")
+    models = _mod("timm.models")
+    vit_mod = _mod("timm.models.vision_transformer")
     vit_mod.Attention = _TimmAttention
     vit_mod.Mlp = _TimmMlp
     vit_mod.PatchEmbed = _TimmPatchEmbed
-    layers = types.ModuleType("timm.models.layers")
+    layers = _mod("timm.models.layers")
     layers.drop_path = ref_timm.drop_path
     layers.to_2tuple = _to_2tuple
     layers.trunc_normal_ = ref_timm.trunc_normal_
     layers.DropPath = ref_timm.DropPath
-    registry = types.ModuleType("timm.models.registry")
+    registry = _mod("timm.models.registry")
     registry.register_model = lambda fn: fn
     models.vision_transformer = vit_mod
     models.layers = layers
@@ -87,15 +96,15 @@ def _install_stubs():
     # VisionTransformer base (mocov3_vit.py:14, mae_vit.py:17). The full
     # faithful VisionTransformer lives in _timm_vit.py (encoder parity
     # tests); import lazily so plain model parity doesn't need it.
-    layers_pkg = types.ModuleType("timm.layers")
-    helpers = types.ModuleType("timm.layers.helpers")
+    layers_pkg = _mod("timm.layers")
+    helpers = _mod("timm.layers.helpers")
     helpers.to_2tuple = _to_2tuple
     layers_pkg.helpers = helpers
     # timm.layers.pos_embed.resample_abs_pos_embed (used by the reference
     # encoder loader, tools/encoders.py:33,117,150,218): public timm ≥0.9
     # semantics — split prefix tokens, bicubic antialiased F.interpolate
     # of the grid part in float32, concat back.
-    pos_embed_mod = types.ModuleType("timm.layers.pos_embed")
+    pos_embed_mod = _mod("timm.layers.pos_embed")
 
     def _resample_abs_pos_embed(posemb, new_size, old_size=None,
                                 num_prefix_tokens=1, interpolation="bicubic",
@@ -129,13 +138,13 @@ def _install_stubs():
     vit_mod._cfg = lambda url="", **kwargs: {"url": url, **kwargs}
 
     # timm.data constants (used by tools/align_utils.py:3).
-    data_mod = types.ModuleType("timm.data")
+    data_mod = _mod("timm.data")
     data_mod.IMAGENET_DEFAULT_MEAN = (0.485, 0.456, 0.406)
     data_mod.IMAGENET_DEFAULT_STD = (0.229, 0.224, 0.225)
     timm.data = data_mod
     sys.modules["timm.data"] = data_mod
 
-    tde = types.ModuleType("torchdiffeq")
+    tde = _mod("torchdiffeq")
 
     def _odeint(*args, **kwargs):
         raise RuntimeError(
@@ -155,20 +164,20 @@ def _install_stubs():
 
         return _raise
 
-    tv = types.ModuleType("torchvision")
+    tv = _mod("torchvision")
     tv.__path__ = []  # mark as package so submodule imports resolve
-    tv_utils = types.ModuleType("torchvision.utils")
+    tv_utils = _mod("torchvision.utils")
     tv_utils.make_grid = _unavailable("torchvision.utils.make_grid")
     tv_utils.save_image = _unavailable("torchvision.utils.save_image")
-    tv_transforms = types.ModuleType("torchvision.transforms")
+    tv_transforms = _mod("torchvision.transforms")
     tv_transforms.Normalize = _unavailable("torchvision.transforms.Normalize")
     tv_transforms.Compose = _unavailable("torchvision.transforms.Compose")
     tv_transforms.Resize = _unavailable("torchvision.transforms.Resize")
-    tv_datasets = types.ModuleType("torchvision.datasets")
-    tv_ds_utils = types.ModuleType("torchvision.datasets.utils")
+    tv_datasets = _mod("torchvision.datasets")
+    tv_ds_utils = _mod("torchvision.datasets.utils")
     tv_ds_utils.download_url = _unavailable("torchvision download_url")
     tv_datasets.utils = tv_ds_utils
-    tv_models = types.ModuleType("torchvision.models")
+    tv_models = _mod("torchvision.models")
     tv.utils = tv_utils
     tv.transforms = tv_transforms
     tv.datasets = tv_datasets
@@ -180,12 +189,12 @@ def _install_stubs():
     sys.modules["torchvision.datasets.utils"] = tv_ds_utils
     sys.modules["torchvision.models"] = tv_models
 
-    clip_mod = types.ModuleType("clip")
+    clip_mod = _mod("clip")
     clip_mod.load = _unavailable("clip.load")
     sys.modules["clip"] = clip_mod
 
-    df = types.ModuleType("diffusers")
-    df_models = types.ModuleType("diffusers.models")
+    df = _mod("diffusers")
+    df_models = _mod("diffusers.models")
     df_models.AutoencoderKL = _unavailable("diffusers AutoencoderKL")
     df.models = df_models
     sys.modules["diffusers"] = df

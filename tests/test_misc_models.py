@@ -22,7 +22,8 @@ def test_mmdit_forward():
     y = jnp.array([1, 2])
     rngs = {"params": jax.random.key(0), "label_dropout": jax.random.key(1)}
     variables = model.init(rngs, x, t, y)
-    out = model.apply(variables, x, t, y)
+    out, zs = model.apply(variables, x, t, y)
+    assert zs is None
     assert out.shape == (2, 8, 8, 4)
     # zero-init head -> exact zero output at init
     np.testing.assert_allclose(np.asarray(out), 0.0)
@@ -34,7 +35,7 @@ def test_mmdit_learn_sigma():
     x = jnp.ones((1, 8, 8, 3))
     t = jnp.array([1.0])
     variables = model.init({"params": jax.random.key(0)}, x, t)
-    out = model.apply(variables, x, t)
+    out, _ = model.apply(variables, x, t)
     assert out.shape == (1, 8, 8, 6)
 
 

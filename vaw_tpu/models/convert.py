@@ -30,6 +30,7 @@ from flax.traverse_util import flatten_dict, unflatten_dict
 
 __all__ = [
     "convert_dit",
+    "convert_mmdit",
     "convert_unet",
     "convert_vit",
     "convert_uvit",
@@ -534,6 +535,77 @@ def convert_encoder_unet(sd: StateDict, target_params=None, *, num_heads=1,
 
     params = unflatten_dict(
         {tuple(k.split("/")): np.asarray(v) for k, v in entries.items()})
+    if target_params is not None:
+        _check_against(params, target_params)
+    return params
+
+
+# ---------------------------------------------------------------------------
+# MM-DiT (reference encoders/mmdit.py:511-695)
+# ---------------------------------------------------------------------------
+
+def _mmdit_stream_rules(torch_stream: str, flax_stream: str):
+    p = rf"joint_blocks\.(\d+)\.{torch_stream}\."
+    f = rf"joint_\1/{flax_stream}/"
+    return {
+        p + r"adaLN_modulation\.1\.weight": (f + "adaLN/kernel", _t),
+        p + r"adaLN_modulation\.1\.bias": (f + "adaLN/bias", lambda x: x),
+        p + r"attn\.qkv\.weight": (f + "qkv_proj/kernel", _t),
+        p + r"attn\.qkv\.bias": (f + "qkv_proj/bias", lambda x: x),
+        p + r"attn\.proj\.weight": (f + "out_proj/kernel", _t),
+        p + r"attn\.proj\.bias": (f + "out_proj/bias", lambda x: x),
+        # qk-norm: rms has a lone scale; ln has scale+bias
+        p + r"attn\.ln_q\.weight": (f + "q_norm/scale", lambda x: x),
+        p + r"attn\.ln_k\.weight": (f + "k_norm/scale", lambda x: x),
+        p + r"attn\.ln_q\.bias": (f + "q_norm/bias", lambda x: x),
+        p + r"attn\.ln_k\.bias": (f + "k_norm/bias", lambda x: x),
+        # GELU Mlp (default)
+        p + r"mlp\.fc1\.weight": (f + "mlp/fc1/kernel", _t),
+        p + r"mlp\.fc1\.bias": (f + "mlp/fc1/bias", lambda x: x),
+        p + r"mlp\.fc2\.weight": (f + "mlp/fc2/kernel", _t),
+        p + r"mlp\.fc2\.bias": (f + "mlp/fc2/bias", lambda x: x),
+        # SwiGLU (bias-free w1/w2/w3)
+        p + r"mlp\.w1\.weight": (f + "mlp/w1/kernel", _t),
+        p + r"mlp\.w2\.weight": (f + "mlp/w2/kernel", _t),
+        p + r"mlp\.w3\.weight": (f + "mlp/w3/kernel", _t),
+    }
+
+
+_MMDIT_RULES: Dict[str, object] = {
+    r"x_embedder\.proj\.weight": ("x_embedder/Conv_0/kernel", _conv),
+    r"x_embedder\.proj\.bias": ("x_embedder/Conv_0/bias", lambda x: x),
+    r"t_embedder\.mlp\.0\.weight": ("t_embedder/Dense_0/kernel", _t),
+    r"t_embedder\.mlp\.0\.bias": ("t_embedder/Dense_0/bias", lambda x: x),
+    r"t_embedder\.mlp\.2\.weight": ("t_embedder/Dense_1/kernel", _t),
+    r"t_embedder\.mlp\.2\.bias": ("t_embedder/Dense_1/bias", lambda x: x),
+    r"y_embedder\.mlp\.0\.weight": ("y_embedder_fc1/kernel", _t),
+    r"y_embedder\.mlp\.0\.bias": ("y_embedder_fc1/bias", lambda x: x),
+    r"y_embedder\.mlp\.2\.weight": ("y_embedder_fc2/kernel", _t),
+    r"y_embedder\.mlp\.2\.bias": ("y_embedder_fc2/bias", lambda x: x),
+    r"context_embedder\.weight": ("context_embedder/kernel", _t),
+    r"context_embedder\.bias": ("context_embedder/bias", lambda x: x),
+    r"register": ("register", lambda x: x),
+    r"pos_embed": None,  # frozen sincos table, recomputed + cropped
+    r"final_layer\.adaLN_modulation\.1\.weight": ("final_adaLN/kernel", _t),
+    r"final_layer\.adaLN_modulation\.1\.bias": ("final_adaLN/bias",
+                                                lambda x: x),
+    r"final_layer\.linear\.weight": ("final_linear/kernel", _t),
+    r"final_layer\.linear\.bias": ("final_linear/bias", lambda x: x),
+    r"projectors\.(\d+)\.0\.weight": (r"projector_\1_fc1/kernel", _t),
+    r"projectors\.(\d+)\.0\.bias": (r"projector_\1_fc1/bias", lambda x: x),
+    r"projectors\.(\d+)\.2\.weight": (r"projector_\1_fc2/kernel", _t),
+    r"projectors\.(\d+)\.2\.bias": (r"projector_\1_fc2/bias", lambda x: x),
+    r"projectors\.(\d+)\.4\.weight": (r"projector_\1_fc3/kernel", _t),
+    r"projectors\.(\d+)\.4\.bias": (r"projector_\1_fc3/bias", lambda x: x),
+    **_mmdit_stream_rules("context_block", "context"),
+    **_mmdit_stream_rules("x_block", "x"),
+}
+
+
+def convert_mmdit(sd: StateDict, target_params=None) -> dict:
+    """Reference MM-DiT state_dict (encoders/mmdit.py MMDiT) -> Flax
+    ``vaw_tpu.models.mmdit.MMDiT`` params."""
+    params = convert_state_dict(sd, _MMDIT_RULES)
     if target_params is not None:
         _check_against(params, target_params)
     return params
