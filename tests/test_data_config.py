@@ -132,3 +132,12 @@ def test_compute_dtype_policy():
 
     assert TrainConfig(amp=True).compute_dtype == jnp.bfloat16
     assert TrainConfig(amp=False).compute_dtype == jnp.float32
+
+
+def test_model_variant_lists_in_sync():
+    """config.py duplicates the registry list for argparse (no model-zoo
+    import at flag-parse time); they must not drift."""
+    from vaw_tpu.models.registry import MODEL_VARIANTS as reg
+    from vaw_tpu.utils.config import MODEL_VARIANTS as cfg
+
+    assert sorted(reg) == sorted(cfg)

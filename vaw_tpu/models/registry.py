@@ -3,14 +3,25 @@
 from __future__ import annotations
 
 from .dit import DiT_models
+from .mmdit import MMDiT
 from .unet import UNet_models
 from .uvit import UViT_models
 from .vit import ViT_models
 
 __all__ = ["MODEL_VARIANTS", "build_model"]
 
+# MM-DiT sizes follow the reference's hidden = 32*depth, heads = depth rule
+# (reference: encoders/mmdit.py:556-558); the reference leaves the backbone
+# orphaned, here it is a selectable variant.
+MMDiT_models = {
+    "MM-DiT-S": dict(depth=12),
+    "MM-DiT-B": dict(depth=24),
+    "MM-DiT-L": dict(depth=32),
+}
+
 MODEL_VARIANTS = (
-    list(UNet_models) + list(ViT_models) + list(DiT_models) + list(UViT_models)
+    list(UNet_models) + list(ViT_models) + list(DiT_models)
+    + list(UViT_models) + list(MMDiT_models)
 )
 
 
@@ -49,6 +60,20 @@ def build_model(cfg):
             class_dropout_prob=cfg.drop_label_prob, z_dims=cfg.z_dims,
             use_checkpoint=getattr(cfg, "use_checkpoint", False),
             scan_blocks=getattr(cfg, "scan_blocks", False),
+            dtype=cfg.compute_dtype,
+        )
+    if name in MMDiT_models:
+        depth = MMDiT_models[name]["depth"]
+        return MMDiT(
+            image_size=cfg.image_size, patch_size=cfg.patch_size,
+            in_channels=cfg.in_chans, hidden_size=32 * depth, depth=depth,
+            num_heads=depth, num_classes=cfg.num_classes,
+            learn_sigma=cfg.learn_sigma, learn_align=cfg.learn_align,
+            encoder_depth=cfg.encoder_depth or 8, z_dims=(cfg.z_dims,),
+            class_dropout_prob=cfg.drop_label_prob,
+            # the reference hardcodes a 16-grid table (latent-32 recipes);
+            # widen for larger token grids
+            pos_embed_max_size=max(16, cfg.image_size // cfg.patch_size),
             dtype=cfg.compute_dtype,
         )
     raise ValueError(f"Unsupported model variant: {name}")

@@ -19,12 +19,16 @@ import jax.numpy as jnp
 __all__ = ["TrainConfig", "str2bool", "add_train_args", "add_sample_args",
            "config_from_args"]
 
+# Kept in sync with models.registry.MODEL_VARIANTS (asserted by
+# tests/test_data_config.py) — duplicated here so argparse does not import
+# the model zoo.
 MODEL_VARIANTS = [
     "UNet-32", "ADM-32", "ADM-64", "ADM-128", "ADM-256", "ADM-512",
     "UNet-64", "LDM",
     "ViT-S", "ViT-B", "ViT-L", "ViT-XL",
     "DiT-S", "DiT-B", "DiT-L", "DiT-XL",
     "U-ViT-S", "U-ViT-S-D", "U-ViT-M", "U-ViT-L", "U-ViT-H",
+    "MM-DiT-S", "MM-DiT-B", "MM-DiT-L",
 ]
 
 
