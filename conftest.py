@@ -16,5 +16,10 @@ try:
 
     jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_default_matmul_precision", "highest")
+    # Persistent compilation cache: roughly half the suite wall time on
+    # this box is XLA compiles of unchanged test programs.
+    from vaw_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
 except Exception:
     pass
