@@ -23,3 +23,9 @@ python main.py --train True --eval True --dataset Latent --data_dir ./data/image
 #   --scan_blocks True         O(1)-compile scanned DiT blocks
 #   --async_checkpoint True    non-blocking Orbax checkpoint writes
 #   --time_sampler loss-second-moment   loss-aware timestep importance sampling
+#   --pp_stages 4 --scan_blocks True    GPipe pipeline parallelism over a
+#                                       ('data','stage') mesh (DiT family)
+#   --sp_degree 4              sequence-parallel ring attention over a
+#                              ('data','sp') mesh (DiT family)
+#   --model MM-DiT-S           SD3-style dual-stream MM-DiT backbone
+#   --fused_optimizer True     single-pass AdamW+EMA (default on)
