@@ -75,5 +75,44 @@ def test_mmdit_forward_parity(flavor):
     assert out.shape == ref_out.shape
     np.testing.assert_allclose(np.asarray(out), ref_out, atol=ATOL,
                                rtol=1e-3)
-    np.testing.assert_allclose(np.asarray(zs[0]), ref_z, atol=ATOL,
-                               rtol=1e-3)
+    # single-teacher tap returns a bare array (framework contract)
+    np.testing.assert_allclose(np.asarray(zs), ref_z, atol=ATOL, rtol=1e-3)
+
+
+def test_mmdit_align_training_step():
+    """MM-DiT with --learn_align must train end-to-end: the zs tap feeds
+    the align loss through the standard trainer contract."""
+    from vaw_tpu.core import (
+        GaussianDiffusion, ModelMeanType, get_named_beta_schedule,
+        make_schedule,
+    )
+    from vaw_tpu.parallel import make_mesh
+    from vaw_tpu.train import Trainer
+    from vaw_tpu.utils.config import TrainConfig
+
+    cfg = TrainConfig(model="MM-DiT-S", image_size=8, in_chans=4,
+                      patch_size=2, num_classes=10, class_cond=True,
+                      batch_size=4, weight_type="lambda",
+                      mean_type="EPSILON", amp=False, learn_align=True,
+                      encoder_depth=2, z_dims=16, gamma=0.5)
+    model = MMDiT(image_size=8, patch_size=2, in_channels=4, hidden_size=32,
+                  depth=2, num_heads=2, num_classes=10,
+                  class_dropout_prob=0.0, learn_align=True,
+                  encoder_depth=2, z_dims=(16,), projector_dim=32)
+    sched = make_schedule(get_named_beta_schedule("linear", 50))
+    proc = GaussianDiffusion(schedule=sched,
+                             model_mean_type=ModelMeanType.EPSILON,
+                             weight_type=cfg.weight_type, learn_align=True,
+                             gamma=0.5)
+    trainer = Trainer(cfg, model, proc, make_mesh())
+    batch = {
+        "image": np.random.RandomState(0).randn(4, 8, 8, 4).astype(
+            np.float32),
+        "label": (np.arange(4) % 10).astype(np.int32),
+        "features": np.random.RandomState(1).randn(4, 16, 16).astype(
+            np.float32),
+    }
+    state = trainer.init_state(jax.random.key(0), batch)
+    state, metrics = trainer.step(state, batch)
+    assert np.isfinite(float(metrics["loss"]))
+    assert "align" in metrics and np.isfinite(float(metrics["align"]))

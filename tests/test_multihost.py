@@ -149,3 +149,37 @@ def test_shards_equal_length_with_remainder():
     ]
     counts = [sum(1 for _ in iter(ld)) for ld in loaders]
     assert counts[0] == counts[1] == len(loaders[0]) == 3  # ceil(11/2)=6 -> 3
+
+
+def test_slab_loader_shards_equal_batches():
+    """Slab sharding must give every process the SAME batch count (only
+    full slabs participate, cycle-padded) — and more shards than slabs
+    must not starve any host into an empty infinite forever() loop."""
+    from vaw_tpu.data.datasets import SlabShuffleLoader
+
+    class _SlabDS:
+        def __init__(self, n):
+            self.n = n
+
+        def __len__(self):
+            return self.n
+
+        def get_slab(self, s, e):
+            return {"image": np.zeros((e - s, 2), np.float32)}
+
+    # 10000 items, slab 4096 -> 2 full slabs + partial tail; 2 shards
+    counts = []
+    for i in (0, 1):
+        ld = SlabShuffleLoader(_SlabDS(10000), batch_size=256,
+                               slab_size=4096, shuffle=True, seed=0,
+                               num_shards=2, shard_index=i)
+        counts.append(sum(1 for _ in iter(ld)))
+        assert len(ld) == counts[-1]
+    assert counts[0] == counts[1] == 16  # 4096 samples / 256
+
+    # more shards than slabs: cycle padding keeps every shard non-empty
+    for i in range(4):
+        ld = SlabShuffleLoader(_SlabDS(10000), batch_size=256,
+                               slab_size=4096, shuffle=True, seed=0,
+                               num_shards=4, shard_index=i)
+        assert sum(1 for _ in iter(ld)) == len(ld) == 16

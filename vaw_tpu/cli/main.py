@@ -255,6 +255,15 @@ def init(cfg):
     if cfg.use_classifier:
         from ..samplers.classifier import build_classifier
 
+        # Validate the flag combo at startup — the Sampler re-checks this,
+        # but it is only constructed at the first sample/eval step and a
+        # mid-run abort would burn everything since the last checkpoint.
+        if not (cfg.model_mode == "diffusion" and cfg.solver == "ddim"):
+            raise ValueError(
+                "--use_classifier requires --model_mode diffusion "
+                f"--solver ddim (got model_mode={cfg.model_mode!r}, "
+                f"solver={cfg.solver!r})"
+            )
         classifier_fn, _ = build_classifier(cfg)
         print(f"==> Classifier guidance from {cfg.use_classifier}")
 
@@ -321,8 +330,19 @@ def evaluate(cfg, step, ctx):
     from ..parallel.distributed import is_main_process
 
     evaluator = ctx["evaluator"]
-    if evaluator is None:
-        print("[eval] skipped (no evaluator)")
+    # The skip decision must be HOST-UNIFORM: only the MAIN process's
+    # evaluator matters (it alone computes metrics), and per-host
+    # availability may differ under the degrade policy — a host skipping
+    # the collective sampling below while others enter it would hang the
+    # pod. Broadcast main's decision.
+    run_eval = evaluator is not None
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        run_eval = bool(multihost_utils.broadcast_one_to_all(
+            np.asarray(run_eval)))
+    if not run_eval:
+        print("[eval] skipped (no evaluator on the main process)")
         return
     arr = generate_samples(cfg, step, ctx, save_grid=False)
     if not is_main_process():

@@ -304,9 +304,33 @@ class SlabShuffleLoader:
         self.num_shards = num_shards
         self.shard_index = shard_index
 
+    def _shard_starts(self, starts):
+        """Multi-host slab assignment with EXACT batch-count equality: only
+        full slabs participate (the <slab_size tail is dropped — bounded,
+        documented loss), then the list is cycle-padded so every shard gets
+        the same number of equally-sized slabs. Unequal shard lengths would
+        hang the pod: a host whose forever() yields fewer (or zero) batches
+        desyncs from the others' collectives."""
+        n = len(self.dataset)
+        full = [s for s in starts if s + self.slab_size <= n]
+        assert full, (
+            f"dataset of {n} items has no full slab of {self.slab_size}; "
+            "lower slab_size below the dataset size for multi-host runs"
+        )
+        per_shard = -(-len(full) // self.num_shards)
+        total = per_shard * self.num_shards
+        reps = -(-total // len(full))
+        padded = (full * reps)[:total]
+        return padded[self.shard_index::self.num_shards]
+
     def __len__(self):
-        # ceil-divide: shards are wrap-padded to equal length (see __iter__)
-        n = -(-len(self.dataset) // self.num_shards)
+        if self.num_shards > 1:
+            n_slabs = len(self.dataset) // self.slab_size
+            per_shard = -(-n_slabs // self.num_shards)
+            samples = per_shard * self.slab_size
+            return (samples // self.batch_size if self.drop_last
+                    else math.ceil(samples / self.batch_size))
+        n = len(self.dataset)
         return n // self.batch_size if self.drop_last else math.ceil(
             n / self.batch_size
         )
@@ -319,11 +343,7 @@ class SlabShuffleLoader:
         if self.shuffle:
             rs.shuffle(starts)
         if self.num_shards > 1:
-            # multi-host: disjoint SLABS per process (same shared shuffle),
-            # wrap-padded so every process sees the same slab count
-            total = -(-len(starts) // self.num_shards) * self.num_shards
-            starts = starts + starts[: total - len(starts)]
-            starts = starts[self.shard_index::self.num_shards]
+            starts = self._shard_starts(starts)
         carry: Optional[Dict[str, np.ndarray]] = None
         for s in starts:
             slab = self.dataset.get_slab(s, min(s + self.slab_size, n))

@@ -338,6 +338,9 @@ class MMDiT(nn.Module):
         if user_context:
             # the reference always routes supplied context through the
             # linear embedder (mmdit.py:568-574, :691)
+            assert context.shape[-1] == self.context_dim, (
+                f"context last dim {context.shape[-1]} != "
+                f"context_dim {self.context_dim}")
             context = nn.Dense(self.hidden_size, dtype=self.dtype,
                                name="context_embedder")(
                 context.astype(self.dtype))
@@ -362,7 +365,11 @@ class MMDiT(nn.Module):
                 dtype=self.dtype, name=f"joint_{i}",
             )(context, x, c)
             if self.learn_align and (i + 1) == self.encoder_depth:
-                # REPA projector tap (reference: mmdit.py:48-56, 666-674)
+                # REPA projector tap (reference: mmdit.py:48-56, 666-674).
+                # Framework contract (train/trainer + core align loss):
+                # a single-teacher tap returns a BARE array like DiT's
+                # (models/dit.py); the reference's list form is kept only
+                # for multi-teacher configs.
                 zs = []
                 for j, z_dim in enumerate(self.z_dims):
                     h = nn.Dense(self.projector_dim, dtype=self.dtype,
@@ -373,6 +380,8 @@ class MMDiT(nn.Module):
                     h = nn.silu(h)
                     zs.append(nn.Dense(z_dim, dtype=self.dtype,
                                        name=f"projector_{j}_fc3")(h))
+                if len(zs) == 1:
+                    zs = zs[0]
 
         # Final adaLN + linear head (reference: mmdit.py:489-508).
         mod = nn.Dense(2 * self.hidden_size, dtype=self.dtype,
