@@ -119,6 +119,12 @@ def test_generate_samples_collective_on_all_processes(monkeypatch, tmp_path):
 
     monkeypatch.setattr(cli_main, "_make_sampler",
                         lambda cfg, ctx: _FakeSampler())
+    # real multihost_utils.process_allgather needs a live 2-host runtime;
+    # simulate both hosts' shards arriving
+    from vaw_tpu.parallel import distributed as dist_mod
+
+    monkeypatch.setattr(dist_mod, "process_allgather",
+                        lambda x: np.stack([x, x]))
     saved = {"grid": 0}
     monkeypatch.setattr(cli_main, "save_grid_png",
                         lambda *a, **kw: saved.__setitem__(

@@ -60,6 +60,13 @@ def test_uniform_has_no_resampler_state():
     mesh = make_mesh(data_axis=1, model_axis=1, devices=jax.devices()[:1])
     trainer = Trainer(cfg, model, process, mesh)
     assert trainer.resampler is None  # uniform sampler -> no state
+    batch = {"image": np.zeros((4, 8, 8, 3), np.float32)}
+    state = trainer.init_state(jax.random.key(0), batch)
+    assert state.resampler is None
+    # the full step (incl. the fused-optimizer path) must not materialize
+    # resampler state for the uniform sampler
+    state, _ = trainer.step(state, batch)
+    assert state.resampler is None
 
 
 def test_distributed_helpers_single_process():

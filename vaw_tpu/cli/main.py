@@ -137,24 +137,32 @@ def init(cfg):
         # the reference is dp-only (SURVEY.md §2.8).
         from ..parallel import make_pp_mesh
 
-        assert cfg.model_axis == 1, "--pp_stages composes with dp, not tp"
-        assert cfg.sp_degree == 1, "--pp_stages and --sp_degree are exclusive"
-        assert cfg.scan_blocks, "--pp_stages requires --scan_blocks"
-        assert cfg.model.startswith("DiT"), (
-            "--pp_stages supports the DiT family (scan-blocks layout)"
-        )
+        if cfg.model_axis != 1:
+            raise ValueError("--pp_stages composes with dp, not tp")
+        if cfg.sp_degree != 1:
+            raise ValueError("--pp_stages and --sp_degree are exclusive")
+        if not cfg.scan_blocks:
+            raise ValueError("--pp_stages requires --scan_blocks")
+        if not cfg.model.startswith("DiT"):
+            raise ValueError(
+                "--pp_stages supports the DiT family (scan-blocks layout)")
         mesh = make_pp_mesh(cfg.pp_stages)
     elif cfg.sp_degree > 1:
         # Sequence parallelism: ('data','sp') mesh, DiT attention as a
         # ppermute ring (parallel/sp_dit.py). TPU extension.
         from jax.sharding import Mesh
 
-        assert cfg.model_axis == 1, "--sp_degree composes with dp, not tp"
-        assert cfg.model.startswith("DiT"), (
-            "--sp_degree supports the DiT family"
-        )
+        if cfg.model_axis != 1:
+            raise ValueError("--sp_degree composes with dp, not tp")
+        if cfg.fsdp:
+            raise ValueError("--sp_degree does not compose with --fsdp")
+        if not cfg.model.startswith("DiT"):
+            raise ValueError("--sp_degree supports the DiT family")
         devs = np.array(jax.devices())
-        assert len(devs) % cfg.sp_degree == 0, (len(devs), cfg.sp_degree)
+        if len(devs) % cfg.sp_degree != 0:
+            raise ValueError(
+                f"{len(devs)} devices not divisible by "
+                f"--sp_degree {cfg.sp_degree}")
         mesh = Mesh(devs.reshape(-1, cfg.sp_degree), ("data", "sp"))
     else:
         mesh = make_mesh(data_axis=cfg.data_axis, model_axis=cfg.model_axis)
@@ -303,15 +311,27 @@ def generate_samples(cfg, step, ctx, save_grid=False):
     EMA state, so EVERY process must execute it (same pattern as the
     reference's all-rank sampling + rank-0 save, tools/sampler.py:232-247,
     utils.py:135-161); only the IO below is main-process-gated."""
-    from ..parallel.distributed import is_main_process
+    from ..parallel.distributed import is_main_process, process_allgather
 
     sampler = _make_sampler(cfg, ctx)
     n = 64 if save_grid else cfg.num_samples
+    # Shard the sample count across processes with disjoint rngs, then
+    # allgather — the reference's per-rank sampling + all_gather
+    # (tools/sampler.py:232-247). Replicated sampling would waste
+    # (P-1)/P of the pod on identical copies.
+    n_proc = jax.process_count()
+    n_local = -(-n // n_proc)
+    rng = jax.random.fold_in(jax.random.key(cfg.seed + step),
+                             jax.process_index())
     samples, labels = sampler.sample(
-        jax.random.key(cfg.seed + step), n,
-        min(cfg.sample_size, n), cfg.image_size, cfg.num_classes,
+        rng, n_local,
+        min(cfg.sample_size, n_local), cfg.image_size, cfg.num_classes,
         progress_bar=not save_grid,
     )
+    if n_proc > 1:
+        samples = np.concatenate(list(process_allgather(samples)))[:n]
+        if labels is not None:
+            labels = np.concatenate(list(process_allgather(labels)))[:n]
     if is_main_process():
         if save_grid:
             path = save_grid_png(cfg.logdir, step, samples)

@@ -101,10 +101,13 @@ def _check_against(params: dict, target_params) -> dict:
             f"extra={extra[:6]}"
         )
     for k, v in want.items():
-        if tuple(got[k].shape) != tuple(np.shape(v)):
+        want_shape = getattr(v, "shape", None)
+        want_shape = (tuple(want_shape) if want_shape is not None
+                      else tuple(np.shape(v)))
+        if tuple(got[k].shape) != want_shape:
             raise ValueError(
                 f"shape mismatch at {'/'.join(k)}: converted "
-                f"{got[k].shape}, model expects {np.shape(v)}"
+                f"{got[k].shape}, model expects {want_shape}"
             )
     return params
 

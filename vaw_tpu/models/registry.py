@@ -69,7 +69,7 @@ def build_model(cfg):
             in_channels=cfg.in_chans, hidden_size=32 * depth, depth=depth,
             num_heads=depth, num_classes=cfg.num_classes,
             learn_sigma=cfg.learn_sigma, learn_align=cfg.learn_align,
-            encoder_depth=cfg.encoder_depth or 8, z_dims=(cfg.z_dims,),
+            encoder_depth=cfg.encoder_depth, z_dims=(cfg.z_dims,),
             class_dropout_prob=cfg.drop_label_prob,
             # the reference hardcodes a 16-grid table (latent-32 recipes);
             # widen for larger token grids

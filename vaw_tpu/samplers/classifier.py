@@ -62,9 +62,15 @@ def make_classifier_model(cfg):
 
 
 def _abstract_params(model, cfg):
+    """Abstract param tree (shapes/dtypes only) — jax.eval_shape traces
+    init without executing the network, so startup does not pay a full
+    classifier forward just to learn shapes."""
     dummy_x = jnp.zeros((1, cfg.image_size, cfg.image_size, cfg.in_chans))
     dummy_t = jnp.zeros((1,))
-    return model.init({"params": jax.random.key(0)}, dummy_x, dummy_t)["params"]
+    variables = jax.eval_shape(
+        lambda: model.init({"params": jax.random.key(0)}, dummy_x, dummy_t)
+    )
+    return variables["params"]
 
 
 def save_classifier_checkpoint(path: str, params) -> None:
@@ -97,14 +103,25 @@ def build_classifier(cfg) -> Tuple[Callable, object]:
     else:
         import orbax.checkpoint as ocp
 
-        abstract = jax.tree.map(
-            lambda a: jax.ShapeDtypeStruct(np.shape(a), a.dtype),
-            _abstract_params(model, cfg),
-        )
+        abstract = _abstract_params(model, cfg)  # already ShapeDtypeStructs
         with ocp.StandardCheckpointer() as ckptr:
             params = ckptr.restore(os.path.abspath(path), abstract)
 
-    def classifier_fn(x, t):
-        return model.apply({"params": params}, x, t)
+    def apply_fn(p, x, t):
+        return model.apply({"params": p}, x, t)
 
-    return classifier_fn, model
+    return ClassifierFn(apply_fn, params), model
+
+
+class ClassifierFn:
+    """Classifier closure that ALSO exposes (apply_fn, params) so sampling
+    jits can take the weights as an argument — closing over them would
+    constant-fold the full EncoderUNet into every traced program
+    (samplers/driver.py threads .params like the model params)."""
+
+    def __init__(self, apply_fn: Callable, params):
+        self.apply_fn = apply_fn
+        self.params = params
+
+    def __call__(self, x, t):
+        return self.apply_fn(self.params, x, t)

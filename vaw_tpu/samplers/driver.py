@@ -50,6 +50,10 @@ class Sampler:
         self.diffusion = diffusion
         self.vae_decode_fn = vae_decode_fn
         self.classifier_fn = classifier_fn
+        # Classifier weights ride the jits as an ARGUMENT (like the model
+        # params) — closing over them would constant-fold the EncoderUNet
+        # into every traced program (samplers/classifier.ClassifierFn).
+        self._cparams = getattr(classifier_fn, "params", None)
         if classifier_fn is not None and not (
                 cfg.model_mode == "diffusion" and cfg.solver == "ddim"):
             # Classifier gradient guidance exists only on the DDIM/ancestral
@@ -103,16 +107,17 @@ class Sampler:
             samples = self.vae_decode_fn(samples / self.cfg.latent_scale)
         return _inverse_normalize(samples)
 
-    def _ddim_batch(self, params, rng, shape, y):
+    def _ddim_batch(self, params, cparams, rng, shape, y):
         """(reference: tools/sampler.py:117-149)"""
         raw_model, cfg_model = self._bind(params)
         cond_fn = None
         model = cfg_model
         if self.classifier_fn is not None:
             model = raw_model
-            cond_fn = classifier_cond_fn(
-                self.classifier_fn, self.cfg.guidance_scale
-            )
+            apply = getattr(self.classifier_fn, "apply_fn", None)
+            fn = ((lambda x, t: apply(cparams, x, t)) if apply is not None
+                  else self.classifier_fn)
+            cond_fn = classifier_cond_fn(fn, self.cfg.guidance_scale)
         model_kwargs = {"y": y} if self.cfg.class_cond else {}
         samples = self.diffusion.ddim_sample_loop(
             lambda x, t, **kw: model(x, t, **kw),
@@ -120,7 +125,7 @@ class Sampler:
         )
         return self._decode(samples)
 
-    def _edm_batch(self, params, rng, shape, y, plan, g_steps):
+    def _edm_batch(self, params, cparams, rng, shape, y, plan, g_steps):
         """(reference: tools/sampler.py:151-188)"""
         _, cfg_model = self._bind(params)
         latents = jax.random.normal(jax.random.fold_in(rng, 0), shape)
@@ -131,7 +136,7 @@ class Sampler:
         )
         return self._decode(samples)
 
-    def _flow_batch(self, params, rng, shape, y):
+    def _flow_batch(self, params, cparams, rng, shape, y):
         """(reference: tools/sampler.py:190-214)"""
         _, cfg_model = self._bind(params)
         noise = jax.random.normal(jax.random.fold_in(rng, 0), shape)
@@ -185,7 +190,7 @@ class Sampler:
                 raise ValueError(
                     f"Unsupported model_mode: {cfg.model_mode}"
                 )
-            jitted = jax.jit(batch_fn, static_argnums=(2,))
+            jitted = jax.jit(batch_fn, static_argnums=(3,))
             self._jit_cache[cache_key] = jitted
         all_samples: List[np.ndarray] = []
         all_labels: List[np.ndarray] = []
@@ -200,7 +205,7 @@ class Sampler:
             bk = jax.random.fold_in(rng, batch_idx)
             y = self._get_y_cond(jax.random.fold_in(bk, 7), sample_size,
                                  num_classes)
-            out = jitted(self.params, bk, shape, y)
+            out = jitted(self.params, self._cparams, bk, shape, y)
             all_samples.append(np.asarray(out))
             if cfg.class_cond:
                 all_labels.append(np.asarray(y))
