@@ -244,3 +244,35 @@ def test_mocov3_runtime_grid_is_native():
     assert runtime_image_size("dinov2", 256) == 224
     assert runtime_image_size("dinov2", 512) == 448
     assert runtime_image_size("clip", 512) == 448
+
+
+@pytest.mark.slow
+def test_mae_parity_full_size_vit_base():
+    """Full-size MAE ViT-B/16 at 256 px (the real teacher configuration,
+    reference tools/encoders.py:191-199) — slow-marked; the fast suite
+    covers the same flow at depth 2."""
+    mae = load_reference("encoders.mae_vit")
+    import timm.layers.pos_embed as tpe
+
+    model = mae.vit_base_patch16(img_size=256)
+    _perturb(model, seed=3)
+    sd = model.state_dict()
+    g = torch.Generator().manual_seed(11)
+    sd["pos_embed"] = 0.02 * torch.randn(1, 1 + 14 * 14, 768, generator=g)
+    raw = {k: v.clone() for k, v in sd.items()}
+    sd["pos_embed"] = tpe.resample_abs_pos_embed(sd["pos_embed"], [16, 16])
+    model.load_state_dict(sd, strict=True)
+    model.eval()
+    x = _torch_image(12, 256)[:1]
+    with torch.no_grad():
+        ref_out = model.forward_features(torch.tensor(x)).numpy()
+
+    from vaw_tpu.encoders import make_teacher
+
+    ours = make_teacher("mae", "b", image_size=256)
+    params = convert_timm_vit(
+        {k: v.numpy() for k, v in raw.items()}, depth=12,
+        final_norm=False, target_grid=16)
+    out = np.asarray(ours.apply(
+        {"params": params}, jnp.asarray(np.transpose(x, (0, 2, 3, 1)))))
+    np.testing.assert_allclose(out[:, 1:], ref_out, atol=5e-4, rtol=1e-3)
