@@ -427,3 +427,40 @@ def test_edm_pred_types_and_ladders(pred_type, noise_schedule):
 def test_edm_euler_and_default_18_steps():
     _edm_case(18, "edm", "linear", "none", "heun", "EPSILON")
     _edm_case(18, "edm", "linear", "none", "euler", "EPSILON")
+
+
+def test_ddim_full_loop_respaced_parity():
+    """FULL deterministic DDIM trajectory (eta=0, shared init noise)
+    through the respaced ddim25-of-100 schedule: exercises the timestep
+    remap (reference SpacedDiffusion._wrap_model, respace.py:90-130 vs our
+    timestep_map gather), the scan loop, and the final clamp end-to-end on
+    the shared toy net."""
+    T, SECT = 100, "ddim25"
+    betas = get_named_beta_schedule("linear", T)
+    use = ref_respace.space_timesteps(T, SECT)
+
+    ref = ref_respace.SpacedDiffusion(
+        use_timesteps=use,
+        args=_ref_args(),
+        betas=betas,
+        model_mean_type=ref_gd.ModelMeanType.EPSILON,
+        model_var_type=ref_gd.ModelVarType.FIXED_LARGE,
+        loss_type=ref_gd.LossType.MSE,
+        device="cpu",
+    )
+    sched = respace_schedule(make_schedule(betas), space_timesteps(T, SECT))
+    mine = _my_diffusion(sched)
+
+    rs = np.random.RandomState(3)
+    noise = rs.randn(4, 8, 8, 3).astype(np.float32)
+    with torch.no_grad():
+        ref_out = ref.ddim_sample_loop(
+            _TorchToyNet(), (4, 3, 8, 8), noise=_nchw(noise),
+            clip_denoised=True, eta=0.0, progress=False, device="cpu",
+        )
+    my_out = mine.ddim_sample_loop(
+        _jax_toy_net(), jax.random.key(0), (4, 8, 8, 3),
+        noise=jnp.asarray(noise), clip_denoised=True, eta=0.0,
+    )
+    np.testing.assert_allclose(np.asarray(my_out), _nhwc(ref_out),
+                               rtol=1e-4, atol=1e-5)
