@@ -42,6 +42,20 @@ def get_named_beta_schedule(
     """
     if schedule_name == "linear":
         scale = 1000 / num_diffusion_timesteps
+        if scale * 0.02 >= 1.0:
+            # T <= 20: the rescaled Ho schedule reaches beta = 1, so
+            # alpha_bar hits 0 and the eps<->x0 conversion tables contain
+            # inf -> NaN samples. The reference degenerates identically
+            # (gaussian_diffusion.py:76-79); warn loudly instead of
+            # returning silent garbage.
+            import warnings
+
+            warnings.warn(
+                f"linear schedule with T={num_diffusion_timesteps} reaches "
+                "beta=1 (alpha_bar=0): eps-prediction conversions will be "
+                "non-finite. Use T>20 or the cosine schedule.",
+                RuntimeWarning, stacklevel=2,
+            )
         return np.linspace(
             scale * 0.0001, scale * 0.02, num_diffusion_timesteps, dtype=np.float64
         )
