@@ -13,7 +13,8 @@ reference stack (torch DDP + AMP): the DiT paper reports ~0.26 s/iter for
 DiT-B/2 at global batch 256 on A100s (~ >= 950 imgs/s/GPU); we use
 1000 imgs/s/A100 as the baseline denominator until the reference recipe is
 profiled directly (BASELINE.md: baseline must be measured; this slot is the
-documented estimate).
+documented estimate). Batch 160 is the measured per-image optimum on v5e
+(862.9 imgs/s vs 845 at 128 and 790 at 256, PERF.md round-2 sweep).
 
 Context for the ratio: an A100 has ~312 bf16 TFLOPs vs ~197 on this v5e
 chip (1.58x), so 843 imgs/s here is ~1.33x the A100 baseline
@@ -46,7 +47,7 @@ def main():
     from vaw_tpu.train import Trainer
     from vaw_tpu.utils.config import TrainConfig
 
-    batch = 128
+    batch = 160
     cfg = TrainConfig(
         model="DiT-B", image_size=32, in_chans=4, patch_size=2,
         num_classes=1000, class_cond=True, batch_size=batch,
