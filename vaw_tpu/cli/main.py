@@ -428,6 +428,24 @@ def train(cfg, ctx):
 
         async_writer = AsyncCheckpointWriter()
 
+    # Preemption safety (TPU extension; the reference has no failure
+    # handling beyond manual --resume, SURVEY.md §5): SIGTERM/SIGINT set a
+    # flag, the loop checkpoints at the next step boundary and exits
+    # cleanly, so a preempted pod resumes from the last step instead of
+    # the last --save_step multiple.
+    import signal
+
+    preempted = {"flag": False, "signum": None}
+
+    def _request_stop(signum, frame):
+        preempted["flag"] = True
+        preempted["signum"] = signum
+
+    prev_handlers = {
+        s: signal.signal(s, _request_stop)
+        for s in (signal.SIGTERM, signal.SIGINT)
+    }
+
     with trange(start_step, cfg.total_steps, initial=start_step,
                 total=cfg.total_steps, dynamic_ncols=True,
                 disable=not main_proc) as pbar:
@@ -475,6 +493,16 @@ def train(cfg, ctx):
                     and step % cfg.eval_step == 0):
                 # collective sampling on all processes; metrics gated inside
                 evaluate(cfg, step, ctx)
+
+            if preempted["flag"]:
+                path = save_checkpoint(cfg, step, state)
+                if main_proc:
+                    print(f"[preempt] signal {preempted['signum']}: "
+                          f"checkpoint saved at step {step}: {path}; "
+                          "resume with --resume")
+                break
+    for s, h in prev_handlers.items():
+        signal.signal(s, h)
     if async_writer is not None:
         async_writer.wait()
         async_writer.close()
