@@ -317,18 +317,29 @@ def generate_samples(cfg, step, ctx, save_grid=False):
     n = 64 if save_grid else cfg.num_samples
     # Shard the sample count across processes with disjoint rngs, then
     # allgather — the reference's per-rank sampling + all_gather
-    # (tools/sampler.py:232-247). Replicated sampling would waste
-    # (P-1)/P of the pod on identical copies.
+    # (tools/sampler.py:232-247). ONLY valid when the EMA params are
+    # fully replicated (plain dp): with cross-host-sharded params
+    # (fsdp/tp spanning hosts) the jitted program contains collectives
+    # and JAX requires identical inputs on every process — per-process
+    # rngs would silently corrupt the samples. Fall back to replicated
+    # sampling then.
     n_proc = jax.process_count()
-    n_local = -(-n // n_proc)
-    rng = jax.random.fold_in(jax.random.key(cfg.seed + step),
-                             jax.process_index())
+    state = ctx.get("state")
+    replicated = state is None or all(
+        getattr(leaf.sharding, "is_fully_replicated", True)
+        for leaf in jax.tree_util.tree_leaves(state.ema_params)
+    )
+    shard_across_hosts = n_proc > 1 and replicated
+    n_local = -(-n // n_proc) if shard_across_hosts else n
+    rng = jax.random.key(cfg.seed + step)
+    if shard_across_hosts:
+        rng = jax.random.fold_in(rng, jax.process_index())
     samples, labels = sampler.sample(
         rng, n_local,
         min(cfg.sample_size, n_local), cfg.image_size, cfg.num_classes,
         progress_bar=not save_grid,
     )
-    if n_proc > 1:
+    if shard_across_hosts:
         samples = np.concatenate(list(process_allgather(samples)))[:n]
         if labels is not None:
             labels = np.concatenate(list(process_allgather(labels)))[:n]
@@ -446,9 +457,23 @@ def train(cfg, ctx):
         for s in (signal.SIGTERM, signal.SIGINT)
     }
 
-    with trange(start_step, cfg.total_steps, initial=start_step,
-                total=cfg.total_steps, dynamic_ncols=True,
-                disable=not main_proc) as pbar:
+    def _stop_requested():
+        """Host-uniform preemption decision: signal delivery skews across
+        hosts, and a host breaking into the collective checkpoint while
+        others run the next step's collectives would deadlock the pod —
+        OR-reduce the flag at the boundary (single-process: just the
+        flag)."""
+        if jax.process_count() == 1:
+            return preempted["flag"]
+        from jax.experimental import multihost_utils
+
+        return bool(multihost_utils.process_allgather(
+            np.asarray(preempted["flag"])).any())
+
+    try:
+      with trange(start_step, cfg.total_steps, initial=start_step,
+                  total=cfg.total_steps, dynamic_ncols=True,
+                  disable=not main_proc) as pbar:
         for step in range(start_step + 1, cfg.total_steps + 1):
             batch = next(data_iter)
             state, metrics = trainer.step(state, batch)
@@ -494,15 +519,24 @@ def train(cfg, ctx):
                 # collective sampling on all processes; metrics gated inside
                 evaluate(cfg, step, ctx)
 
-            if preempted["flag"]:
+            # NOTE: must be called unconditionally — on multi-host it is a
+            # collective every host joins each step
+            if _stop_requested():
+                if async_writer is not None:
+                    # a same-step async write may be in flight to the same
+                    # directory; finish it before the synchronous save
+                    async_writer.wait()
                 path = save_checkpoint(cfg, step, state)
                 if main_proc:
                     print(f"[preempt] signal {preempted['signum']}: "
                           f"checkpoint saved at step {step}: {path}; "
                           "resume with --resume")
                 break
-    for s, h in prev_handlers.items():
-        signal.signal(s, h)
+    finally:
+        # restore handlers even if a step raised; a handler installed from
+        # C shows up as None -> reset to SIG_DFL (signal.signal(None) raises)
+        for s, h in prev_handlers.items():
+            signal.signal(s, h if h is not None else signal.SIG_DFL)
     if async_writer is not None:
         async_writer.wait()
         async_writer.close()

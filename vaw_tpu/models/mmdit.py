@@ -290,6 +290,10 @@ class MMDiT(nn.Module):
     @nn.compact
     def __call__(self, x, t, y=None, context=None, train: bool = False,
                  force_drop_ids=None) -> Tuple[jnp.ndarray, Optional[list]]:
+        assert not self.learn_align or self.encoder_depth > 0, (
+            "learn_align requires encoder_depth > 0 (pass --encoder_depth; "
+            "the projector tap would otherwise never fire and zs stays None)"
+        )
         out_channels = (
             self.in_channels * 2 if self.learn_sigma else self.in_channels
         )

@@ -110,6 +110,10 @@ def build_classifier(cfg) -> Tuple[Callable, object]:
     def apply_fn(p, x, t):
         return model.apply({"params": p}, x, t)
 
+    # Commit the weights to device ONCE: converted/restored trees are
+    # host numpy, and as a per-batch jit argument they would otherwise pay
+    # a fresh host->device copy of the full EncoderUNet every batch.
+    params = jax.tree_util.tree_map(jnp.asarray, params)
     return ClassifierFn(apply_fn, params), model
 
 

@@ -182,11 +182,13 @@ class Trainer:
         elif "model" not in self.mesh.shape:
             # sp (or other custom) mesh without a tensor-parallel axis:
             # params replicate — the name-based TP rules reference 'model'
-            assert not getattr(self.cfg, "fsdp", False), (
-                "fsdp needs a ('data','model') mesh; on this "
-                f"{tuple(self.mesh.axis_names)} mesh params would silently "
-                "replicate instead of ZeRO-sharding"
-            )
+            if getattr(self.cfg, "fsdp", False):
+                # not an assert: config validation must survive python -O
+                raise ValueError(
+                    "fsdp needs a ('data','model') mesh; on this "
+                    f"{tuple(self.mesh.axis_names)} mesh params would "
+                    "silently replicate instead of ZeRO-sharding"
+                )
             rep = replicated_sharding(self.mesh)
             p_sh = jax.tree_util.tree_map(lambda _: rep, state.params)
         elif getattr(self.cfg, "fsdp", False):
