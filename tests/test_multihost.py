@@ -33,13 +33,16 @@ def test_is_main_process_gating(monkeypatch):
     assert distributed.is_main_process()
 
 
-def test_generate_logdir_writes_only_on_main(monkeypatch, tmp_path):
+def test_generate_logdir_writes_artifacts_only_on_main(monkeypatch, tmp_path):
+    # Every process creates the run DIRECTORY (collective Orbax writers on
+    # per-host local filesystems need it to exist); only the main process
+    # writes artifacts like config.yaml.
     for index, expect_files in ((1, False), (0, True)):
         _fake_two_process(monkeypatch, index)
         cfg = TrainConfig(logdir=str(tmp_path / f"p{index}"))
         logdir = generate_logdir(cfg, snapshot=False)
         assert cfg.logdir == logdir
-        assert os.path.isdir(logdir) == expect_files
+        assert os.path.isdir(logdir)
         assert os.path.isfile(os.path.join(logdir, "config.yaml")) == (
             expect_files)
 
@@ -118,7 +121,7 @@ def test_generate_samples_collective_on_all_processes(monkeypatch, tmp_path):
             return arr, np.zeros((4,), np.int32)
 
     monkeypatch.setattr(cli_main, "_make_sampler",
-                        lambda cfg, ctx: _FakeSampler())
+                        lambda cfg, ctx, **kw: _FakeSampler())
     # real multihost_utils.process_allgather needs a live 2-host runtime;
     # simulate both hosts' shards arriving
     from vaw_tpu.parallel import distributed as dist_mod

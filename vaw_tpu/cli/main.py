@@ -52,6 +52,11 @@ from ..utils import (
 __all__ = ["parse_args", "build_diffusion", "init", "train", "evaluate",
            "main"]
 
+# Multi-host preemption-flag OR-reduce cadence (steps). One cross-host
+# collective per step would serialize hosts and defeat async dispatch;
+# preemption grace periods (tens of seconds) dwarf 25 steps of latency.
+PREEMPT_POLL_STEPS = 25
+
 
 def parse_args(argv=None):
     parser = argparse.ArgumentParser(
@@ -290,9 +295,18 @@ def init(cfg):
     }
 
 
-def _make_sampler(cfg, ctx, ema: bool = True) -> Sampler:
+def _make_sampler(cfg, ctx, ema: bool = True, local: bool = False) -> Sampler:
     model, state = ctx["model"], ctx["state"]
     params = state.ema_params if ema else state.params
+    if local:
+        # Host-sharded sampling feeds per-process DIVERGENT rngs into the
+        # jit; that is only sound when the computation is unambiguously
+        # process-local. Pull the (fully replicated, hence locally
+        # addressable) EMA to host once so the jitted program runs on
+        # host-local arrays with no global-mesh commitment — a future
+        # collective inside the sampler then fails loudly at trace time
+        # instead of silently producing corrupted "replicated" outputs.
+        params = jax.device_get(params)
 
     def model_fn(p, x, t, **kw):
         return model.apply({"params": p}, x, t, train=False, **kw)
@@ -313,7 +327,6 @@ def generate_samples(cfg, step, ctx, save_grid=False):
     utils.py:135-161); only the IO below is main-process-gated."""
     from ..parallel.distributed import is_main_process, process_allgather
 
-    sampler = _make_sampler(cfg, ctx)
     n = 64 if save_grid else cfg.num_samples
     # Shard the sample count across processes with disjoint rngs, then
     # allgather — the reference's per-rank sampling + all_gather
@@ -330,6 +343,7 @@ def generate_samples(cfg, step, ctx, save_grid=False):
         for leaf in jax.tree_util.tree_leaves(state.ema_params)
     )
     shard_across_hosts = n_proc > 1 and replicated
+    sampler = _make_sampler(cfg, ctx, local=shard_across_hosts)
     n_local = -(-n // n_proc) if shard_across_hosts else n
     rng = jax.random.key(cfg.seed + step)
     if shard_across_hosts:
@@ -519,9 +533,16 @@ def train(cfg, ctx):
                 # collective sampling on all processes; metrics gated inside
                 evaluate(cfg, step, ctx)
 
-            # NOTE: must be called unconditionally — on multi-host it is a
-            # collective every host joins each step
-            if _stop_requested():
+            # Multi-host preemption polling is a blocking cross-host
+            # collective; running it every step defeats async dispatch
+            # run-ahead. Poll at a HOST-UNIFORM cadence (step is identical
+            # on every host, so every host joins the same collectives) —
+            # a few steps of signal-delivery latency is acceptable.
+            # Single-process polls the local flag every step (free).
+            poll = (jax.process_count() == 1
+                    or step % PREEMPT_POLL_STEPS == 0
+                    or step == cfg.total_steps)
+            if poll and _stop_requested():
                 if async_writer is not None:
                     # a same-step async write may be in flight to the same
                     # directory; finish it before the synchronous save

@@ -56,7 +56,9 @@ def fused_adamw_ema(
     sched_i, sched = _find_schedule_state(opt_state)
 
     count = adam.count
-    count_inc = count + 1
+    # safe_int32_increment saturates at int32 max instead of wrapping
+    # negative — matches optax.scale_by_adam exactly.
+    count_inc = optax.safe_int32_increment(count)
     bc1 = 1.0 - b1 ** count_inc.astype(jnp.float32)
     bc2 = 1.0 - b2 ** count_inc.astype(jnp.float32)
     lr_count = sched.count if sched is not None else count
@@ -87,5 +89,6 @@ def fused_adamw_ema(
     new_opt_state[adam_i] = optax.ScaleByAdamState(
         count=count_inc, mu=new_mu, nu=new_nu)
     if sched is not None:
-        new_opt_state[sched_i] = type(sched)(count=sched.count + 1)
+        new_opt_state[sched_i] = type(sched)(
+            count=optax.safe_int32_increment(sched.count))
     return new_params, new_ema, tuple(new_opt_state)

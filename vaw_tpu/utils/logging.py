@@ -79,9 +79,13 @@ def generate_logdir(cfg, snapshot: bool = True) -> str:
     timestamp = _consistent_timestamp()
     logdir = os.path.join(cfg.logdir, timestamp)
     cfg.logdir = logdir
+    # EVERY process creates the run directory (cheap, idempotent): Orbax
+    # checkpoint writes are collective, and on per-host local filesystems
+    # the non-main writers would otherwise target a nonexistent path.
+    # Artifact snapshots below stay main-process-only.
+    os.makedirs(logdir, exist_ok=True)
     if not is_main_process():
         return logdir
-    os.makedirs(logdir, exist_ok=True)
     if snapshot:
         snapshot_sources(logdir)
     with open(os.path.join(logdir, "config.yaml"), "w") as f:
