@@ -133,3 +133,38 @@ def test_loss_second_moment_resampler_warmup_and_weights():
     state = r.update(state, jnp.array([0]), jnp.array([9.0]))
     hist0 = np.asarray(state.loss_history[0])
     np.testing.assert_allclose(hist0, [1.0, 9.0])
+
+
+def _sequential_ring_update(hist, counts, ts, losses, H):
+    """The reference's per-item ring semantics (tools/resample.py:152-159),
+    item by item in batch order — the oracle for the vectorized update."""
+    hist, counts = hist.copy(), counts.copy()
+    for t, loss in zip(ts, losses):
+        if counts[t] == H:
+            hist[t, :-1] = hist[t, 1:]
+            hist[t, -1] = loss
+        else:
+            hist[t, counts[t]] = loss
+            counts[t] += 1
+    return hist, counts
+
+
+@pytest.mark.parametrize("T,H,B", [
+    (10, 3, 64),    # heavy collisions, k_t > H for some rows
+    (1000, 10, 256),  # flagship shape: mostly 0-1 arrivals per row
+    (4, 2, 33),     # tiny T, k_t >> H
+    (7, 5, 5),      # partial fills only
+])
+def test_vectorized_update_matches_sequential_ring(T, H, B):
+    r = LossSecondMomentResampler(T, history_per_term=H)
+    rs = np.random.RandomState(42)
+    hist = np.zeros((T, H), np.float32)
+    counts = np.zeros((T,), np.int32)
+    state = r.init_state()
+    for round_i in range(3):  # multiple rounds: empty -> partial -> full rows
+        ts = rs.randint(0, T, size=(B,)).astype(np.int32)
+        losses = rs.rand(B).astype(np.float32) + 0.1
+        hist, counts = _sequential_ring_update(hist, counts, ts, losses, H)
+        state = jax.jit(r.update)(state, jnp.asarray(ts), jnp.asarray(losses))
+        np.testing.assert_array_equal(np.asarray(state.loss_counts), counts)
+        np.testing.assert_array_equal(np.asarray(state.loss_history), hist)

@@ -172,28 +172,50 @@ class LossSecondMomentResampler:
 
     def update(self, state: ResamplerState, ts: jnp.ndarray,
                losses: jnp.ndarray) -> ResamplerState:
-        """Fold a batch of per-sample losses into the history. Processes the
-        batch sequentially (matching the reference's per-item ring buffer,
-        tools/resample.py:152-159) via lax.scan so it stays jittable."""
+        """Fold a batch of per-sample losses into the history, matching the
+        reference's sequential per-item ring buffer bit-for-bit
+        (tools/resample.py:152-159) but fully vectorized: a per-item
+        lax.scan put O(batch) dependent scatter updates on the critical
+        path (~256 serial steps at batch 256); this formulation is one
+        stable sort over the batch plus one gather and one scatter over the
+        [T, H] table (tests/test_weighting.py asserts equality with the
+        sequential semantics).
 
-        def body(carry, tl):
-            hist, counts = carry
-            t, loss = tl
-            count = counts[t]
-            full = count == self.history_per_term
-            row = hist[t]
-            shifted = jnp.concatenate([row[1:], loss[None]])
-            appended = row.at[jnp.minimum(count, self.history_per_term - 1)].set(loss)
-            new_row = jnp.where(full, shifted, appended)
-            hist = hist.at[t].set(new_row)
-            counts = counts.at[t].set(jnp.where(full, count, count + 1))
-            return (hist, counts), None
+        Per-row view of the sequential semantics: with k_t new losses for
+        timestep t arriving in batch order, the final row holds the last H
+        entries of (old valid entries ++ new losses); the final count is
+        min(count_t + k_t, H)."""
+        H = self.history_per_term
+        T = self.num_timesteps
+        ts = ts.astype(jnp.int32)
+        losses = losses.astype(jnp.float32)
+        hist, counts = state.loss_history, state.loss_counts
 
-        (hist, counts), _ = jax.lax.scan(
-            body, (state.loss_history, state.loss_counts),
-            (ts.astype(jnp.int32), losses.astype(jnp.float32)),
-        )
-        return ResamplerState(loss_history=hist, loss_counts=counts)
+        k = jnp.zeros((T,), jnp.int32).at[ts].add(1)  # arrivals per row
+        new_counts = jnp.minimum(counts + k, H)
+        shift = jnp.maximum(counts + k - H, 0)  # old entries dropped per row
+
+        # Shift each row left by its own amount (clamped gather; positions
+        # past the valid region are either overwritten by the scatter below
+        # or past new_count, i.e. stale-by-construction like the reference).
+        cols = jnp.arange(H)[None, :] + shift[:, None]
+        hist = jnp.take_along_axis(hist, jnp.minimum(cols, H - 1), axis=1)
+
+        # Stable-sort the batch by timestep; an item's rank-from-the-end
+        # within its group determines its destination column (only the last
+        # H arrivals per row survive, exactly as the sequential ring would
+        # leave them).
+        order = jnp.argsort(ts, stable=True)
+        ts_s, losses_s = ts[order], losses[order]
+        group_start = jnp.searchsorted(ts_s, ts_s, side="left")
+        rank = jnp.arange(ts.shape[0]) - group_start
+        from_end = k[ts_s] - 1 - rank
+        dest = new_counts[ts_s] - 1 - from_end
+        # from_end >= H: overwritten in the sequential semantics — drop via
+        # an out-of-bounds column (mode="drop").
+        dest = jnp.where(from_end < H, dest, H)
+        hist = hist.at[ts_s, dest].set(losses_s, mode="drop")
+        return ResamplerState(loss_history=hist, loss_counts=new_counts)
 
 
 def create_named_schedule_sampler(name: str, num_timesteps: int):
