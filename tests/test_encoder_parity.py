@@ -219,6 +219,116 @@ def test_clip_parity(size):
     np.testing.assert_allclose(out[:, 1:], ref_out, atol=ATOL, rtol=1e-4)
 
 
+@pytest.mark.parametrize("resolution", [256, 512])
+def test_dinov2_parity(resolution):
+    """DINOv2 vs a faithful stub of the torch.hub DinoVisionTransformer
+    (tests/_dinov2.py): LayerScale blocks, x_norm_patchtokens dict output,
+    and the reference's load-time pos-embed resample from the hub grid
+    (37x37 at 518 px) to 16*(res//256) (tools/encoders.py:106-125)."""
+    from _dinov2 import DinoVisionTransformer
+    import timm.layers.pos_embed as tpe
+
+    eff = runtime_image_size("dinov2", resolution)
+    assert eff == 224 * (resolution // 256)
+    grid = eff // 14
+    model = DinoVisionTransformer(img_size=eff, patch_size=14, embed_dim=64,
+                                  depth=2, num_heads=4)
+    _perturb(model, seed=6)
+    sd = model.state_dict()
+    # hub checkpoint table: 37x37 grid (518-px pretraining)
+    g = torch.Generator().manual_seed(13)
+    raw = {k: v.clone() for k, v in sd.items()}
+    raw["pos_embed"] = 0.02 * torch.randn(1, 1 + 37 * 37, 64, generator=g)
+    sd["pos_embed"] = tpe.resample_abs_pos_embed(
+        raw["pos_embed"], [grid, grid])
+    model.load_state_dict(sd, strict=True)
+    model.eval()
+    x = _torch_image(7, eff)
+    with torch.no_grad():
+        ref = model.forward_features(torch.tensor(x))
+
+    ours = FeatureViT(image_size=eff, patch_size=14, embed_dim=64, depth=2,
+                      num_heads=4, layer_scale=True)
+    params = convert_timm_vit(state_dict_numpy(model) | {
+        "pos_embed": raw["pos_embed"].numpy()}, depth=2, layer_scale=True,
+        target_grid=grid)
+    out = np.asarray(ours.apply(
+        {"params": params}, jnp.asarray(np.transpose(x, (0, 2, 3, 1)))))
+    assert out.shape == (2, 1 + grid * grid, 64)
+    np.testing.assert_allclose(out[:, 0], ref["x_norm_clstoken"].numpy(),
+                               atol=ATOL, rtol=1e-4)
+    np.testing.assert_allclose(out[:, 1:],
+                               ref["x_norm_patchtokens"].numpy(),
+                               atol=ATOL, rtol=1e-4)
+
+
+def test_dinov2reg_parity():
+    """dinov2-reg: 4 register tokens inserted AFTER the pos-embed add
+    (no pos rows of their own); x_norm_patchtokens drops cls AND
+    registers (hub `_reg` variants, tools/encoders.py:106)."""
+    from _dinov2 import DinoVisionTransformer
+
+    model = DinoVisionTransformer(img_size=224, patch_size=14, embed_dim=64,
+                                  depth=2, num_heads=4,
+                                  num_register_tokens=4)
+    _perturb(model, seed=9)
+    model.eval()
+    x = _torch_image(8, 224)
+    with torch.no_grad():
+        ref = model.forward_features(torch.tensor(x))
+    assert ref["x_norm_regtokens"].shape == (2, 4, 64)
+
+    ours = FeatureViT(image_size=224, patch_size=14, embed_dim=64, depth=2,
+                      num_heads=4, layer_scale=True, num_register_tokens=4)
+    params = convert_timm_vit(state_dict_numpy(model), depth=2,
+                              layer_scale=True, target_grid=16)
+    out = np.asarray(ours.apply(
+        {"params": params}, jnp.asarray(np.transpose(x, (0, 2, 3, 1)))))
+    assert out.shape == (2, 1 + 4 + 256, 64)
+    np.testing.assert_allclose(out[:, 1:5], ref["x_norm_regtokens"].numpy(),
+                               atol=ATOL, rtol=1e-4)
+    np.testing.assert_allclose(out[:, 5:], ref["x_norm_patchtokens"].numpy(),
+                               atol=ATOL, rtol=1e-4)
+
+
+def test_dinov1_parity_256px_with_224_checkpoint():
+    """DINOv1 at 256 px: the reference resamples the 14x14 checkpoint table
+    to [16,16] at load (tools/encoders.py:149-155) and exposes
+    forward_features = forward — i.e. the final-norm CLS TOKEN as a [B, D]
+    global feature (facebookresearch/dino forward returns x[:, 0]). The
+    full token sequence is compared too: the TPU align glue keeps patch
+    tokens (a [B, D] feature cannot broadcast against the [B, T, D] REPA
+    tap in the reference's own align loss — compute_align_loss would
+    raise — so patch tokens are the usable superset)."""
+    from _dinov2 import Dinov1VisionTransformer
+    import timm.layers.pos_embed as tpe
+
+    model = Dinov1VisionTransformer(img_size=256, patch_size=16,
+                                    embed_dim=64, depth=2, num_heads=4)
+    _perturb(model, seed=10)
+    sd = model.state_dict()
+    g = torch.Generator().manual_seed(17)
+    raw = {k: v.clone() for k, v in sd.items()}
+    raw["pos_embed"] = 0.02 * torch.randn(1, 1 + 14 * 14, 64, generator=g)
+    sd["pos_embed"] = tpe.resample_abs_pos_embed(raw["pos_embed"], [16, 16])
+    model.load_state_dict(sd, strict=True)
+    model.eval()
+    x = _torch_image(9, 256)
+    with torch.no_grad():
+        ref_cls = model(torch.tensor(x)).numpy()
+        ref_all = model._all_tokens(torch.tensor(x)).numpy()
+
+    ours = FeatureViT(image_size=256, patch_size=16, embed_dim=64, depth=2,
+                      num_heads=4)
+    params = convert_timm_vit(state_dict_numpy(model) | {
+        "pos_embed": raw["pos_embed"].numpy()}, depth=2, target_grid=16)
+    out = np.asarray(ours.apply(
+        {"params": params}, jnp.asarray(np.transpose(x, (0, 2, 3, 1)))))
+    assert ref_cls.shape == (2, 64)  # the reference-exposed feature shape
+    np.testing.assert_allclose(out[:, 0], ref_cls, atol=ATOL, rtol=1e-4)
+    np.testing.assert_allclose(out, ref_all, atol=ATOL, rtol=1e-4)
+
+
 def test_dinov2_register_tokens_forward():
     """dinov2reg: 4 register tokens ride between cls and patches with no
     pos-embed rows (reference hub `_reg` variants, tools/encoders.py:106);
