@@ -141,3 +141,48 @@ def test_model_variant_lists_in_sync():
     from vaw_tpu.utils.config import MODEL_VARIANTS as cfg
 
     assert sorted(reg) == sorted(cfg)
+
+
+def test_batch_loader_fast_forward_matches_uninterrupted():
+    """Resume determinism: fast_forward(n) then iterating must yield exactly
+    the batches an uninterrupted run yields after n batches — across epoch
+    boundaries (epoch-seeded reshuffles included)."""
+    from vaw_tpu.data.datasets import BatchLoader, GaussianDataset
+
+    ds = GaussianDataset(image_size=4, channels=1, num_classes=3, length=24)
+    ref = BatchLoader(ds, batch_size=4, shuffle=True, seed=5)
+    it = ref.forever()
+    full = [next(it) for _ in range(14)]  # 6 batches/epoch -> 2+ epochs
+
+    for n in (0, 3, 6, 11):
+        lo = BatchLoader(ds, batch_size=4, shuffle=True, seed=5)
+        lo.fast_forward(n)
+        it2 = lo.forever()
+        for k in range(14 - n):
+            got = next(it2)
+            np.testing.assert_array_equal(got["image"], full[n + k]["image"],
+                                          err_msg=f"n={n} k={k}")
+
+
+def test_slab_loader_fast_forward_matches_uninterrupted():
+    from vaw_tpu.data.datasets import SlabShuffleLoader
+
+    class _SlabDS:
+        def __len__(self):
+            return 32
+
+        def get_slab(self, a, b):
+            return {"image": np.arange(a, b, dtype=np.float32)[:, None]}
+
+    mk = lambda: SlabShuffleLoader(_SlabDS(), batch_size=4, slab_size=8,
+                                   shuffle=True, seed=3)
+    it = mk().forever()
+    full = [next(it) for _ in range(20)]  # 8 batches/epoch -> 2+ epochs
+    for n in (0, 5, 8, 13):
+        lo = mk()
+        lo.fast_forward(n)
+        it2 = lo.forever()
+        for k in range(20 - n):
+            np.testing.assert_array_equal(
+                next(it2)["image"], full[n + k]["image"],
+                err_msg=f"n={n} k={k}")

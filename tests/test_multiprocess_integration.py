@@ -1,0 +1,149 @@
+"""Real 2-process distributed integration (VERDICT r2 next-4): spawn two
+jax.distributed CPU processes (localhost coordinator, 4 virtual devices
+each) running the actual CLI — disjoint data shards, jitted SPMD train
+steps, collective Orbax saves, resume, and multi-host sharded sampling
+through process_allgather — and assert the interrupted (train -> save ->
+resume) run is BIT-EQUAL to the uninterrupted one: checkpoints and the
+step-4 sample grid match. (reference behavior being claimed:
+tools/dist_util.py:33-55 + DistributedSampler set_epoch resume
+determinism, tools/trainer.py:70-71.)
+"""
+
+import glob
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+_WORKER = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       "_dist_worker.py")
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
+def _cli_args(logdir, total_steps, resume=None):
+    args = [
+        "--dataset", "Gaussian", "--model", "DiT-S", "--image_size", "8",
+        "--patch_size", "4", "--in_chans", "3", "--num_classes", "0",
+        "--class_cond", "False", "--batch_size", "8",
+        "--total_steps", str(total_steps), "--sample_freq", "4",
+        "--sample_steps", "4", "--diffusion_steps", "20",
+        "--save_step", "2", "--eval", "False", "--amp", "False",
+        "--solver", "ddim", "--logdir", logdir, "--weight_type", "lambda",
+        "--sample_size", "32", "--num_samples", "8", "--seed", "11",
+    ]
+    if resume:
+        args += ["--resume", resume]
+    return args
+
+
+def _run_pair(cli_args, timeout=900):
+    """Launch both worker processes against a fresh coordinator port."""
+    port = _free_port()
+    env = dict(os.environ)
+    # must be in the env BEFORE the interpreter starts (axon sitecustomize
+    # partially imports jax at startup)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["VAW_PLATFORM"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    procs, logs = [], []
+    for pid in (0, 1):
+        log = open(cli_args[cli_args.index("--logdir") + 1]
+                   + f".worker{pid}.log", "w")
+        logs.append(log)
+        procs.append(subprocess.Popen(
+            [sys.executable, _WORKER, str(port), str(pid)] + cli_args,
+            env=env, stdout=log, stderr=subprocess.STDOUT))
+    rcs = [p.wait(timeout=timeout) for p in procs]
+    for log in logs:
+        log.close()
+    for pid, rc in enumerate(rcs):
+        if rc != 0:
+            path = cli_args[cli_args.index("--logdir") + 1] \
+                + f".worker{pid}.log"
+            with open(path) as f:
+                tail = f.read()[-3000:]
+            raise AssertionError(f"worker {pid} rc={rc}\n{tail}")
+
+
+def _restore_raw(ckpt_path):
+    """Restore a 2-process checkpoint in this (single-process) driver: the
+    saved sharding metadata names the workers' device topology, so rebuild
+    an explicit replicated target from the checkpoint's own shapes."""
+    import jax
+    import orbax.checkpoint as ocp
+
+    sharding = jax.sharding.SingleDeviceSharding(jax.devices("cpu")[0])
+    with ocp.StandardCheckpointer() as ckptr:
+        meta = ckptr.metadata(os.path.abspath(ckpt_path)).item_metadata
+        target = jax.tree_util.tree_map(
+            lambda m: jax.ShapeDtypeStruct(m.shape, m.dtype,
+                                           sharding=sharding), meta)
+        return ckptr.restore(os.path.abspath(ckpt_path), target)
+
+
+def _tree_equal(a, b, msg):
+    la = [x for x in _leaves(a)]
+    lb = [x for x in _leaves(b)]
+    assert len(la) == len(lb), msg
+    for x, y in zip(la, lb):
+        np.testing.assert_array_equal(x, y, err_msg=msg)
+
+
+def _leaves(tree):
+    import jax
+
+    return jax.tree_util.tree_leaves(tree)
+
+
+def _one_ckpt(logdir, step):
+    hits = glob.glob(os.path.join(logdir, "*", "checkpoint", f"*_{step}"))
+    assert len(hits) == 1, (logdir, step, hits)
+    return hits[0]
+
+
+def _one_grid(logdir, step):
+    hits = glob.glob(os.path.join(logdir, "*", "sample", f"{step}.png"))
+    assert len(hits) == 1, (logdir, step, hits)
+    return hits[0]
+
+
+@pytest.mark.slow
+def test_two_process_train_save_resume_sample_bitequal(tmp_path):
+    # Leg A: 4 straight steps; checkpoints at 2 and 4; sample grid at 4.
+    dir_a = str(tmp_path / "a")
+    _run_pair(_cli_args(dir_a, total_steps=4))
+
+    # Leg B: 2 steps (checkpoint at 2) ...
+    dir_b1 = str(tmp_path / "b1")
+    _run_pair(_cli_args(dir_b1, total_steps=2))
+    ckpt_b2 = _one_ckpt(dir_b1, 2)
+
+    # checkpoint-at-2 equality across independent process pairs: the
+    # collective Orbax save through real cross-process collectives is
+    # deterministic.
+    raw_a2 = _restore_raw(_one_ckpt(dir_a, 2))
+    raw_b2 = _restore_raw(ckpt_b2)
+    _tree_equal(raw_a2, raw_b2, "step-2 checkpoints diverged across pairs")
+
+    # ... then resume in fresh processes and run to step 4.
+    dir_b2 = str(tmp_path / "b2")
+    _run_pair(_cli_args(dir_b2, total_steps=4, resume=ckpt_b2))
+
+    # Interrupted == uninterrupted, bit-for-bit: params/EMA/opt state ...
+    raw_a4 = _restore_raw(_one_ckpt(dir_a, 4))
+    raw_b4 = _restore_raw(_one_ckpt(dir_b2, 4))
+    _tree_equal(raw_a4, raw_b4, "resumed run diverged from straight run")
+
+    # ... and the multi-host sharded sampling output (process-folded rngs
+    # + process_allgather + main-process PNG write).
+    with open(_one_grid(dir_a, 4), "rb") as fa, \
+            open(_one_grid(dir_b2, 4), "rb") as fb:
+        assert fa.read() == fb.read(), "step-4 sample grids differ"

@@ -433,8 +433,21 @@ def train(cfg, ctx):
     micro = (cfg.batch_size // jax.process_count()) * max(
         1, cfg.grad_accumulation
     )
+    loader = ctx["train_loader"]
+    if start_step and hasattr(loader, "fast_forward"):
+        # Resume determinism: replay the loader to where the interrupted
+        # run left off, so the resumed batch sequence matches the
+        # uninterrupted one (the reference gets this from
+        # DistributedSampler.set_epoch(step), tools/trainer.py:70-71).
+        consumed = start_step * micro
+        if consumed % loader.batch_size == 0:
+            loader.fast_forward(consumed // loader.batch_size)
+        elif main_proc:
+            print("[resume] step*batch not divisible by loader batch; "
+                  "loader restarts at epoch 0 (data order will differ "
+                  "from the uninterrupted run)")
     data_iter = prefetch_to_device(
-        _rebatched(ctx["train_loader"], micro), mesh
+        _rebatched(loader, micro), mesh
     )
 
     from ..utils import kvlogger

@@ -145,22 +145,28 @@ class GaussianDataset:
         self.channels = channels
         self.num_classes = num_classes
         self.length = length
-        self.rs = np.random.RandomState(seed)
+        self.seed = seed
 
     def __len__(self):
         return self.length
 
     def get_batch(self, idx: np.ndarray) -> Dict[str, np.ndarray]:
-        n = len(idx)
-        out = {
-            "image": self.rs.randn(
-                n, self.image_size, self.image_size, self.channels
-            ).astype(np.float32)
-        }
+        # A pure function of index (not of call order): sample i is the
+        # same array no matter which process, epoch, or resumed run reads
+        # it — required for the loader fast_forward resume-determinism
+        # guarantee and the multi-host disjoint-shard tests.
+        per = self.image_size * self.image_size * self.channels
+        imgs = np.empty((len(idx), per), np.float32)
+        labels = np.empty((len(idx),), np.int32)
+        for j, i in enumerate(np.asarray(idx)):
+            rs = np.random.RandomState(
+                (self.seed * 1_000_003 + int(i)) & 0x7FFFFFFF)
+            imgs[j] = rs.randn(per).astype(np.float32)
+            labels[j] = rs.randint(0, max(self.num_classes, 1))
+        out = {"image": imgs.reshape(len(idx), self.image_size,
+                                     self.image_size, self.channels)}
         if self.num_classes > 0:
-            out["label"] = self.rs.randint(
-                0, self.num_classes, size=(n,)
-            ).astype(np.int32)
+            out["label"] = labels
         return out
 
 
@@ -335,7 +341,30 @@ class SlabShuffleLoader:
             n / self.batch_size
         )
 
+    def fast_forward(self, n_batches: int):
+        """Resume determinism: advance from the loader's CURRENT position
+        as if `n_batches` more had been consumed, so epoch-seeded
+        permutations reproduce the uninterrupted run's batch sequence
+        exactly (the reference gets this from DistributedSampler.set_epoch
+        per step, tools/trainer.py:70-71). Relative, not absolute: the CLI
+        burns one epoch grabbing the shape-init sample batch before
+        training, and both the interrupted and resumed run share that
+        prefix. Within-epoch skipping re-reads the already-consumed slabs
+        once — a bounded one-time resume cost."""
+        per = len(self)
+        if per <= 0:
+            return
+        self.epoch += n_batches // per
+        self._skip = n_batches % per
+
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        skip = getattr(self, "_skip", 0)
+        self._skip = 0
+        for i, batch in enumerate(self._iter_epoch()):
+            if i >= skip:
+                yield batch
+
+    def _iter_epoch(self) -> Iterator[Dict[str, np.ndarray]]:
         n = len(self.dataset)
         starts = list(range(0, n, self.slab_size))
         rs = np.random.RandomState(self.seed + self.epoch)
@@ -398,7 +427,20 @@ class BatchLoader:
             n / self.batch_size
         )
 
+    def fast_forward(self, n_batches: int):
+        """Resume determinism (see SlabShuffleLoader.fast_forward): advance
+        the epoch counter and within-epoch batch offset from the CURRENT
+        position to where an uninterrupted run would be after `n_batches`
+        more."""
+        per = len(self)
+        if per <= 0:
+            return
+        self.epoch += n_batches // per
+        self._skip = n_batches % per
+
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        skip = getattr(self, "_skip", 0)
+        self._skip = 0
         n = len(self.dataset)
         idx = np.arange(n)
         if self.shuffle:
@@ -416,7 +458,7 @@ class BatchLoader:
         self.epoch += 1
         n = len(idx)
         end = n - n % self.batch_size if self.drop_last else n
-        for i in range(0, end, self.batch_size):
+        for i in range(skip * self.batch_size, end, self.batch_size):
             yield self.dataset.get_batch(idx[i: i + self.batch_size])
 
     def forever(self) -> Iterator[Dict[str, np.ndarray]]:

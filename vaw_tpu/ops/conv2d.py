@@ -1,0 +1,93 @@
+"""Pallas 3x3 conv for the ADM UNet hot path (stride 1, symmetric pad).
+
+Why: XLA:TPU's conv lowering reaches only ~54% MFU on the ADM-64 decoder
+shapes (PERF.md round-2 anatomy — 286 ms of a 384 ms step in conv fusions;
+reference hot stack: models/unet.py:397-687). The kernel here reformulates
+the 3x3 conv as ONE implicit-GEMM per spatial tile:
+
+    t9  = x_tile[(TH+2)x(W+2), Cin] @ w[Cin, 9*Cout]     (MXU, lanes ~full)
+    out = sum_taps t9[dy:dy+TH, dx:dx+W, tap-slab]       (VPU shifted adds)
+
+so the tap dimension rides the MXU lane axis (9*Cout = 1728 lanes for
+Cout=192 vs 192 -> 75% padding in the native lowering) and the t9
+intermediate never leaves VMEM (the same decomposition in pure XLA
+materializes a 9x activation tensor in HBM).
+
+The input row-halo is DMA'd manually from HBM (overlapping windows cannot
+be expressed with BlockSpec index maps).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["conv3x3_pallas", "conv3x3_supported"]
+
+
+def _fwd_kernel(xp_ref, wf_ref, out_ref, xtile, sem, *, TH, W, cin, cout):
+    n = pl.program_id(0)
+    i = pl.program_id(1)
+    cp = pltpu.make_async_copy(
+        xp_ref.at[n, pl.ds(i * TH, TH + 2)], xtile, sem
+    )
+    cp.start()
+    cp.wait()
+    m = (TH + 2) * (W + 2)
+    t9 = jax.lax.dot_general(
+        xtile[...].reshape(m, cin), wf_ref[...],
+        (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+    ).reshape(TH + 2, W + 2, 9 * cout)
+    acc = None
+    for dy in range(3):
+        for dx in range(3):
+            tap = dy * 3 + dx
+            s = t9[dy:dy + TH, dx:dx + W, tap * cout:(tap + 1) * cout]
+            acc = s if acc is None else acc + s
+    out_ref[0] = acc.astype(out_ref.dtype)
+
+
+def conv3x3_supported(shape, cout, tile_h=8) -> bool:
+    n, h, w, cin = shape
+    return h % tile_h == 0 and h >= tile_h
+
+
+@functools.partial(jax.jit, static_argnames=("tile_h",))
+def conv3x3_pallas(x, w, tile_h: int = 8):
+    """y = conv3x3(x, w), stride 1, pad 1. x [N,H,W,Cin] (bf16/f32),
+    w [3,3,Cin,Cout]. Output dtype follows x."""
+    n, h, wd, cin = x.shape
+    cout = w.shape[-1]
+    assert w.shape[:3] == (3, 3, cin), w.shape
+    assert h % tile_h == 0, (h, tile_h)
+    # Manual DMA slices must be 128-aligned on the lane (channel) dim; pad
+    # Cin up (costs nothing on the MXU — K pads to 128-tiles regardless).
+    cpad = (-cin) % 128
+    cin_p = cin + cpad
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, cpad)))
+    wf = jnp.pad(w.astype(x.dtype), ((0, 0), (0, 0), (0, cpad), (0, 0))
+                 ).transpose(2, 0, 1, 3).reshape(cin_p, 9 * cout)
+    cin = cin_p
+
+    kernel = functools.partial(
+        _fwd_kernel, TH=tile_h, W=wd, cin=cin, cout=cout)
+    return pl.pallas_call(
+        kernel,
+        grid=(n, h // tile_h),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((cin, 9 * cout), lambda ni, ii: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, tile_h, wd, cout),
+                               lambda ni, ii: (ni, ii, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((n, h, wd, cout), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((tile_h + 2, wd + 2, cin), x.dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )(xp, wf)

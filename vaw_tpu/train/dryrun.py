@@ -23,6 +23,18 @@ from .trainer import Trainer
 
 __all__ = ["dryrun_multichip"]
 
+_COLLECTIVES = ("all-reduce", "reduce-scatter", "all-gather",
+                "collective-permute")
+
+
+def _collective_census(compiled) -> dict:
+    """Count collective ops in compiled (post-SPMD-partitioner) HLO — the
+    proof that the sharding annotations actually materialized as
+    communication, not silent replication."""
+    txt = compiled.as_text()
+    return {op: txt.count(f" {op}") + txt.count(f"{op}(") for op in
+            _COLLECTIVES}
+
 
 def dryrun_multichip(n_devices: int) -> None:
     """Build an n-device ('data','model') mesh, jit the full training step
@@ -48,10 +60,12 @@ def dryrun_multichip(n_devices: int) -> None:
         mean_type="EPSILON", drop_label_prob=0.1, grad_accumulation=2,
         amp=False,
     )
-    # Tiny DiT: hidden divisible by model_axis * heads.
+    # Real DiT-S geometry (hidden 384, depth 12, heads 6 — models/dit.py
+    # registry) on tiny images: the sharding/collective structure under
+    # test is the flagship's, not a 2-block toy's.
     model = DiT(
         image_size=cfg.image_size, patch_size=2, in_channels=4,
-        hidden_size=64, depth=2, num_heads=2, num_classes=10,
+        hidden_size=384, depth=12, num_heads=6, num_classes=10,
         class_dropout_prob=0.1,
     )
     sched = make_schedule(get_named_beta_schedule("linear", 50))
@@ -75,6 +89,7 @@ def dryrun_multichip(n_devices: int) -> None:
         }
 
         losses = {}
+        census = {}
         # Two sharding regimes over the same mesh: dp x tp with replicated
         # state, and dp x tp with ZeRO-3 param/opt-state sharding (fsdp).
         for label, fsdp in (("dp+tp", False), ("dp+tp+fsdp", True)):
@@ -83,6 +98,25 @@ def dryrun_multichip(n_devices: int) -> None:
                 trainer = Trainer(run_cfg, model, process, mesh)
                 state = trainer.init_state(jax.random.key(0), batch)
                 sharded = shard_batch(mesh, batch)
+                # Compile first and census the lowered HLO: the step must
+                # actually contain the expected collectives, not silently
+                # replicate.
+                compiled = trainer.jitted_step.lower(
+                    state, sharded, jax.random.key(0)).compile()
+                census[label] = _collective_census(compiled)
+                if n_devices > 1:
+                    assert census[label]["all-reduce"] > 0, (
+                        label, census[label])  # dp grad sync / tp row sums
+                if fsdp:
+                    # ZeRO-3 must re-gather sharded params for compute ...
+                    assert census[label]["all-gather"] > 0, (
+                        label, census[label])
+                    # ... and scatter grads to shards. The CPU SPMD
+                    # partitioner often lowers reduce-scatter as
+                    # all-reduce + dynamic-slice, so accept either form.
+                    assert (census[label]["reduce-scatter"] > 0
+                            or census[label]["all-reduce"] > 0), (
+                        label, census[label])
                 state, metrics = trainer.step(state, sharded)
                 jax.block_until_ready(metrics["loss"])
                 loss = float(metrics["loss"])
@@ -91,15 +125,22 @@ def dryrun_multichip(n_devices: int) -> None:
                 losses[label] = loss
         # Both regimes compute the same math; shardings must not change it.
         assert abs(losses["dp+tp"] - losses["dp+tp+fsdp"]) < 1e-3, losses
+        # The ZeRO-3 signature: fsdp adds param re-gathers over the plain
+        # dp+tp program.
+        assert (census["dp+tp+fsdp"]["all-gather"]
+                > census["dp+tp"]["all-gather"]), census
 
         # Pipeline parallelism: ('data','stage') mesh over the same devices,
         # real DiT blocks GPipe-pipelined through the FULL train step
         # (parallel/dit_pipeline.py), checked for dp-equality.
-        pp_loss = _dryrun_dit_pipeline(devices, cfg, process, batch)
+        pp_loss, census["pp"] = _dryrun_dit_pipeline(
+            devices, cfg, process, batch)
+        assert census["pp"]["collective-permute"] > 0, census["pp"]
 
         # Sequence parallelism: ring-attention DiT on a ('data','sp') mesh
         # must reproduce the plain forward exactly.
-        _dryrun_sp_dit(devices)
+        census["sp"] = _dryrun_sp_dit(devices)
+        assert census["sp"]["collective-permute"] > 0, census["sp"]
 
     # Hermeticity check: no live buffer may have landed off-CPU.
     non_cpu = {
@@ -109,6 +150,9 @@ def dryrun_multichip(n_devices: int) -> None:
         if d.platform != "cpu"
     }
     assert not non_cpu, f"dryrun leaked buffers to non-CPU backends: {non_cpu}"
+    import json as _json
+
+    print("collective census:", _json.dumps(census))
     print(f"dryrun_multichip({n_devices}): mesh="
           f"{dict(zip(mesh.axis_names, mesh.devices.shape))} "
           f"losses={losses} pp_loss={pp_loss:.4f} OK")
@@ -137,10 +181,12 @@ def _dryrun_sp_dit(devices) -> None:
         x, t, y)
     ref, _ = model.apply(variables, x, t, y)
     apply_fn = sequence_parallel_dit_apply(model, mesh, batch_axis="data")
-    out, _ = jax.jit(lambda v, x, t, y: apply_fn(v, x, t, y))(
-        variables, x, t, y)
+    jitted = jax.jit(lambda v, x, t, y: apply_fn(v, x, t, y))
+    compiled = jitted.lower(variables, x, t, y).compile()
+    out, _ = jitted(variables, x, t, y)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=1e-4, rtol=1e-4)
+    return _collective_census(compiled)
 
 
 def _dryrun_dit_pipeline(devices, cfg, process, batch) -> float:
@@ -163,6 +209,9 @@ def _dryrun_dit_pipeline(devices, cfg, process, batch) -> float:
     with mesh:
         trainer = Trainer(run_cfg, model, process, mesh, apply_fn=apply_fn)
         state = trainer.init_state(jax.random.key(0), batch)
+        sharded0 = shard_batch(mesh, batch)
+        census = _collective_census(trainer.jitted_step.lower(
+            state, sharded0, jax.random.key(0)).compile())
         # The block stack must actually shard over 'stage'.
         block_leaf = state.params["ScanBlocks"]["DiTBlock_0"][
             "Mlp_0"]["Dense_0"]["kernel"]
@@ -188,4 +237,4 @@ def _dryrun_dit_pipeline(devices, cfg, process, batch) -> float:
         )({"params": state.params}, x, t, y)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    atol=1e-4, rtol=1e-4)
-    return loss
+    return loss, census
