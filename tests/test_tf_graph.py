@@ -458,3 +458,52 @@ def test_real_inception_pb_census_and_parity():
     np.testing.assert_allclose(pool_tf.mean(0), pool_j.mean(0), atol=1e-4)
     np.testing.assert_allclose(np.cov(pool_tf, rowvar=False),
                                np.cov(pool_j, rowvar=False), atol=1e-4)
+
+
+@pytest.mark.slow
+def test_full_inception_synthetic_tf_vs_jax(tmp_path):
+    """Full-architecture synthetic Inception bit-check (VERDICT r2 next-5):
+    the COMPLETE 2015 InceptionV3 topology — every layer/shape/op flavor of
+    the real pb (legacy batchnorm nodes, old-style Concat, CheckNumerics,
+    factorized-7 and split-3 towers), random weights — flows through BOTH
+    the TF1 session backend and the GraphDef->JAX compiler via the real
+    evaluator plumbing (batch surgery, spatial[...,:7], softmax-weight
+    extraction through the Identity read). With this green, the only
+    remaining FID-parity unknown is the real pb's weight VALUES."""
+    import sys
+
+    sys.path.insert(0, "tests")
+    from _inception_graph import build_inception_v3_pb
+
+    from vaw_tpu.evals.inception import (
+        InceptionV3Features, InceptionV3JAXFeatures,
+    )
+    from vaw_tpu.evals.tf_graph import SUPPORTED_OPS, load_graph_def
+
+    pb = build_inception_v3_pb(str(tmp_path / "synthetic_inception.pb"),
+                               seed=5)
+    gd = load_graph_def(pb)
+    ops = {n.op for n in gd.node} - {"Placeholder"}
+    # node census == the documented real-pb census (the audit the gated
+    # real-pb test re-derives)
+    assert ops == INCEPTION_SUBGRAPH_OPS, (
+        ops ^ INCEPTION_SUBGRAPH_OPS)
+    assert not (ops - SUPPORTED_OPS)
+
+    rs = np.random.RandomState(7)
+    batch = (rs.rand(8, 299, 299, 3) * 255).astype(np.float32)
+    tf_b = InceptionV3Features(pb_path=pb, batch_size=4)
+    jx_b = InceptionV3JAXFeatures(pb_path=pb, batch_size=4)
+    pool_tf, spatial_tf = tf_b.features(batch)
+    pool_j, spatial_j = jx_b.features(batch)
+    assert pool_tf.shape == pool_j.shape == (8, 2048)
+    assert spatial_tf.shape == spatial_j.shape == (8, 17 * 17 * 7)
+    np.testing.assert_allclose(pool_tf, pool_j, atol=1e-3, rtol=1e-3)
+    np.testing.assert_allclose(spatial_tf, spatial_j, atol=1e-3, rtol=1e-3)
+    np.testing.assert_allclose(tf_b.softmax_probs(pool_tf),
+                               jx_b.softmax_probs(pool_j),
+                               atol=1e-4, rtol=1e-3)
+    # mu/sigma agreement — what FID actually consumes
+    np.testing.assert_allclose(pool_tf.mean(0), pool_j.mean(0), atol=1e-4)
+    np.testing.assert_allclose(np.cov(pool_tf, rowvar=False),
+                               np.cov(pool_j, rowvar=False), atol=1e-4)
