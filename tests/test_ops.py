@@ -185,3 +185,43 @@ def test_upfirdn2d_differentiable_to_second_order():
     assert np.isfinite(np.asarray(g)).all()
     h = jax.grad(lambda x: jnp.sum(jax.grad(f)(x) ** 2))(x)
     assert np.isfinite(np.asarray(h)).all()
+
+
+def test_conv3x3_pallas_interpret_fwd_bwd():
+    """Pallas implicit-GEMM conv (ops/conv2d.py): fwd + custom-vjp dgrad/
+    wgrad vs lax.conv, in interpreter mode (semantics; the TPU timing
+    lives in probes/_conv_probe.py)."""
+    import functools
+
+    from jax.experimental import pallas as pl
+
+    import vaw_tpu.ops.conv2d as c2
+
+    orig = pl.pallas_call
+    pl.pallas_call = functools.partial(orig, interpret=True)
+    try:
+        rs = np.random.RandomState(0)
+        x = jnp.asarray(rs.randn(2, 16, 8, 24), jnp.float32)
+        w = jnp.asarray(rs.randn(3, 3, 24, 16) * 0.1, jnp.float32)
+        g = jnp.asarray(rs.randn(2, 16, 8, 16), jnp.float32)
+
+        ref = jax.lax.conv_general_dilated(
+            x, w, (1, 1), ((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        np.testing.assert_allclose(np.asarray(c2.conv3x3(x, w)),
+                                   np.asarray(ref), atol=2e-5, rtol=1e-5)
+
+        def loss(conv):
+            return lambda x, w: jnp.sum(conv(x, w) * g)
+
+        ref_conv = lambda x, w: jax.lax.conv_general_dilated(  # noqa: E731
+            x, w, (1, 1), ((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        dx_p, dw_p = jax.grad(loss(c2.conv3x3), argnums=(0, 1))(x, w)
+        dx_r, dw_r = jax.grad(loss(ref_conv), argnums=(0, 1))(x, w)
+        np.testing.assert_allclose(np.asarray(dx_p), np.asarray(dx_r),
+                                   atol=2e-5, rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(dw_p), np.asarray(dw_r),
+                                   atol=2e-4, rtol=1e-4)
+    finally:
+        pl.pallas_call = orig

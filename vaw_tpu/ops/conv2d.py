@@ -26,7 +26,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["conv3x3_pallas", "conv3x3_supported"]
+__all__ = ["conv3x3", "conv3x3_pallas", "conv3x3_wgrad_pallas",
+           "conv3x3_supported"]
 
 
 def _fwd_kernel(xp_ref, wf_ref, out_ref, xtile, sem, *, TH, W, cin, cout):
@@ -91,3 +92,93 @@ def conv3x3_pallas(x, w, tile_h: int = 8):
             pltpu.SemaphoreType.DMA,
         ],
     )(xp, wf)
+
+
+def _wgrad_kernel(xp_ref, g_ref, dw_ref, xtile, gpad, sem, *,
+                  TH, W, cin, cout):
+    n = pl.program_id(0)
+    i = pl.program_id(1)
+    cp = pltpu.make_async_copy(
+        xp_ref.at[n, pl.ds(i * TH, TH + 2)], xtile, sem
+    )
+    cp.start()
+
+    @pl.when(jnp.logical_and(n == 0, i == 0))
+    def _():
+        dw_ref[...] = jnp.zeros_like(dw_ref)
+
+    # G[(u,v), tap*cout+co] = g zero-padded to the halo grid, shifted by
+    # the tap offset: dw_tap = sum_p x_pad[p] (x) G[p, tap-slab].
+    gpad[...] = jnp.zeros_like(gpad)
+    g = g_ref[0]
+    for dy in range(3):
+        for dx in range(3):
+            tap = dy * 3 + dx
+            gpad[dy:dy + TH, dx:dx + W,
+                 tap * cout:(tap + 1) * cout] = g
+    cp.wait()
+    m = (TH + 2) * (W + 2)
+    dw_ref[...] += jax.lax.dot_general(
+        xtile[...].reshape(m, cin), gpad[...].reshape(m, 9 * cout),
+        (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("tile_h",))
+def conv3x3_wgrad_pallas(x, g, tile_h: int = 8):
+    """dw[3,3,Cin,Cout] = wgrad of conv3x3(x, .) against cotangent g
+    ([N,H,W,Cout]). One implicit GEMM per spatial tile, accumulated into
+    the (constant-block) f32 output across the sequential TPU grid."""
+    n, h, wd, cin = x.shape
+    cout = g.shape[-1]
+    assert g.shape == (n, h, wd, cout), (x.shape, g.shape)
+    assert h % tile_h == 0, (h, tile_h)
+    cpad = (-cin) % 128
+    cin_p = cin + cpad
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, cpad)))
+
+    kernel = functools.partial(
+        _wgrad_kernel, TH=tile_h, W=wd, cin=cin_p, cout=cout)
+    dw = pl.pallas_call(
+        kernel,
+        grid=(n, h // tile_h),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((1, tile_h, wd, cout),
+                         lambda ni, ii: (ni, ii, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((cin_p, 9 * cout), lambda ni, ii: (0, 0)),
+        out_shape=jax.ShapeDtypeStruct((cin_p, 9 * cout), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((tile_h + 2, wd + 2, cin_p), x.dtype),
+            pltpu.VMEM((tile_h + 2, wd + 2, 9 * cout), g.dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )(xp, g)
+    dw = dw[:cin].reshape(cin, 3, 3, cout).transpose(1, 2, 0, 3)
+    return dw.astype(x.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def conv3x3(x, w, tile_h: int = 8):
+    """Differentiable Pallas 3x3 conv (stride 1, pad 1): fwd implicit-GEMM
+    kernel; bwd dgrad reuses the fwd kernel on the 180-rotated transposed
+    filter, wgrad is its own accumulate kernel."""
+    return conv3x3_pallas(x, w, tile_h=tile_h)
+
+
+def _conv3x3_fwd(x, w, tile_h):
+    return conv3x3_pallas(x, w, tile_h=tile_h), (x, w)
+
+
+def _conv3x3_bwd(tile_h, res, g):
+    x, w = res
+    # dgrad: conv of g with the spatially-rotated, in/out-swapped filter
+    w_rot = w[::-1, ::-1].transpose(0, 1, 3, 2)
+    dx = conv3x3_pallas(g, w_rot.astype(g.dtype), tile_h=tile_h)
+    dw = conv3x3_wgrad_pallas(x, g, tile_h=tile_h).astype(w.dtype)
+    return dx, dw
+
+
+conv3x3.defvjp(_conv3x3_fwd, _conv3x3_bwd)
