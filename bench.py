@@ -94,12 +94,41 @@ def main():
 
     n_chips = len(jax.devices())
     imgs_per_sec_chip = batch * n_steps / dt / n_chips
-    print(json.dumps({
+    ms_per_step = dt / n_steps * 1e3
+
+    # Self-evidencing ratio (VERDICT r2 next-2): report the XLA-counted
+    # step FLOPs and the resulting MFU against the chip's measured matmul
+    # ceiling (171.8 TF through this tunnel, PERF.md) and bf16 peak
+    # (~197 TF, v5e), so the vs_baseline number is auditable from the JSON
+    # alone.
+    tflops_per_step = None
+    mfu = None
+    try:
+        rng = jax.random.fold_in(jax.random.key(0), state.step)
+        cost = trainer.jitted_step.lower(
+            state, dev_batch, rng).compile().cost_analysis()
+        if cost and cost.get("flops"):
+            tflops_per_step = float(cost["flops"]) / 1e12
+            achieved = tflops_per_step / (dt / n_steps)
+            mfu = achieved / 197.0
+    except Exception:  # noqa: BLE001 — cost analysis is best-effort
+        pass
+
+    out = {
         "metric": "dit_b2_latent_train_imgs_per_sec_chip",
         "value": round(imgs_per_sec_chip, 2),
         "unit": "imgs/sec/chip",
         "vs_baseline": round(imgs_per_sec_chip / A100_BASELINE_IMGS_PER_SEC, 3),
-    }))
+        "batch": batch,
+        "ms_per_step": round(ms_per_step, 1),
+    }
+    if tflops_per_step is not None:
+        out["tflops_per_step"] = round(tflops_per_step, 2)
+        out["achieved_tflops"] = round(tflops_per_step / (dt / n_steps), 1)
+        out["mfu_vs_bf16_peak"] = round(mfu, 3)
+        out["mfu_vs_measured_ceiling"] = round(
+            tflops_per_step / (dt / n_steps) / 171.8, 3)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -34,6 +34,11 @@ def _conv(features, kernel=3, stride=1, zero_init=False, dtype=jnp.float32,
     # pads (0, 1) instead, shifting every window by one pixel (caught by the
     # reference-parity suite on the Downsample conv). Use explicit symmetric
     # padding to match the reference (models/unet.py:126-136).
+    from ..ops.conv2d import use_pallas_conv
+
+    if kernel == 3 and stride == 1 and use_pallas_conv():
+        return PallasConv3x3(features, zero_init=zero_init, dtype=dtype,
+                             name=name)
     pad = kernel // 2
     return nn.Conv(
         features, (kernel, kernel), strides=(stride, stride),
@@ -42,6 +47,38 @@ def _conv(features, kernel=3, stride=1, zero_init=False, dtype=jnp.float32,
         kernel_init=zeros_init if zero_init else nn.initializers.lecun_normal(),
         bias_init=zeros_init,
     )
+
+
+class PallasConv3x3(nn.Module):
+    """Drop-in nn.Conv replacement routing the stride-1 3x3 convs to the
+    Pallas implicit-GEMM kernel (ops/conv2d.py — the ADM-64 hot path,
+    reference: models/unet.py:397-687). Identical param names/shapes
+    (kernel [3,3,Cin,Cout], bias [Cout]) so checkpoints interoperate;
+    falls back to lax.conv for unsupported spatial shapes."""
+
+    features: int
+    zero_init: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        cin = x.shape[-1]
+        kernel = self.param(
+            "kernel",
+            zeros_init if self.zero_init else nn.initializers.lecun_normal(),
+            (3, 3, cin, self.features))
+        bias = self.param("bias", zeros_init, (self.features,))
+        x = x.astype(self.dtype)
+        k = kernel.astype(self.dtype)
+        from ..ops.conv2d import conv3x3, conv3x3_supported
+
+        if conv3x3_supported(x.shape, self.features):
+            y = conv3x3(x, k)
+        else:
+            y = jax.lax.conv_general_dilated(
+                x, k, (1, 1), ((1, 1), (1, 1)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        return y + bias.astype(y.dtype)
 
 
 def _upsample_nearest(x):

@@ -20,6 +20,7 @@ be expressed with BlockSpec index maps).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -27,7 +28,14 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["conv3x3", "conv3x3_pallas", "conv3x3_wgrad_pallas",
-           "conv3x3_supported"]
+           "conv3x3_supported", "use_pallas_conv"]
+
+
+def use_pallas_conv() -> bool:
+    """Routing flag for the UNet 3x3 convs (models/unet.py _conv): opt-in
+    via VAW_PALLAS_CONV=1 until the TPU benchmark table
+    (probes/_conv_probe.py -> PERF.md) decides the default."""
+    return os.environ.get("VAW_PALLAS_CONV", "0") == "1"
 
 
 def _fwd_kernel(xp_ref, wf_ref, out_ref, xtile, sem, *, TH, W, cin, cout):
