@@ -17,6 +17,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from vaw_tpu.utils.cache import enable_compilation_cache
 enable_compilation_cache()
 
+import functools
 import time
 import jax
 import jax.numpy as jnp
@@ -99,8 +100,11 @@ def main():
         variants = {"xla": conv_xla, "t9": conv_t9}
         if which in ("pallas", "all"):
             try:
-                from vaw_tpu.ops.conv2d import conv3x3_pallas
-                variants["pallas"] = conv3x3_pallas
+                # conv3x3 (custom_vjp) — bwd must hit the Pallas dgrad/wgrad
+                # kernels, not attempt AD through pallas_call.
+                from vaw_tpu.ops.conv2d import conv3x3
+                variants["pallas"] = conv3x3
+                variants["pallas16"] = functools.partial(conv3x3, tile_h=16)
             except Exception as e:
                 print(f"pallas unavailable: {e}")
         print(f"shape N{n} {h}x{wd} {ci}->{co}  ({gflop_fwd:.0f} GF fwd)")

@@ -118,3 +118,32 @@ def test_grad_clip_forces_optax_path():
     assert not trainer._use_fused_opt()
 
 
+
+
+def test_bf16_moments_close_to_f32():
+    """--opt_bf16_moments: bf16 moment STORAGE, f32 update math. Params must
+    track the f32-moment run closely over several steps (the only error
+    source is the bf16 round-trip of mu/nu), and the state dtypes must
+    actually be bf16 (the traffic saving is the point)."""
+    s_f32, m_f32 = _run_steps(
+        _cfg(fused_optimizer=True, log_grad_norm=False), n=5)
+    s_bf, m_bf = _run_steps(
+        _cfg(fused_optimizer=True, log_grad_norm=False,
+             opt_bf16_moments=True), n=5)
+    _, adam = find_adam_state(s_bf.opt_state)
+    for leaf in jax.tree_util.tree_leaves((adam.mu, adam.nu)):
+        assert leaf.dtype == jnp.bfloat16, leaf.dtype
+    for leaf in jax.tree_util.tree_leaves(s_bf.params):
+        assert leaf.dtype == jnp.float32, leaf.dtype
+    np.testing.assert_allclose(float(m_bf["loss"]), float(m_f32["loss"]),
+                               rtol=5e-3)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=5e-4, rtol=5e-3),
+        (s_bf.params, s_bf.ema_params),
+        (s_f32.params, s_f32.ema_params))
+
+
+def test_bf16_moments_requires_fused():
+    with pytest.raises(AssertionError, match="fused"):
+        _run_steps(_cfg(fused_optimizer=False, opt_bf16_moments=True), n=1)

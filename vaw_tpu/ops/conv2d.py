@@ -38,7 +38,8 @@ def use_pallas_conv() -> bool:
     return os.environ.get("VAW_PALLAS_CONV", "0") == "1"
 
 
-def _fwd_kernel(xp_ref, wf_ref, out_ref, xtile, sem, *, TH, W, cin, cout):
+def _fwd_kernel(xp_ref, wf_ref, out_ref, xtile, sem, *, TH, W, WP, cin,
+                cout):
     n = pl.program_id(0)
     i = pl.program_id(1)
     cp = pltpu.make_async_copy(
@@ -46,11 +47,11 @@ def _fwd_kernel(xp_ref, wf_ref, out_ref, xtile, sem, *, TH, W, cin, cout):
     )
     cp.start()
     cp.wait()
-    m = (TH + 2) * (W + 2)
+    m = (TH + 2) * WP
     t9 = jax.lax.dot_general(
         xtile[...].reshape(m, cin), wf_ref[...],
         (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
-    ).reshape(TH + 2, W + 2, 9 * cout)
+    ).reshape(TH + 2, WP, 9 * cout)
     acc = None
     for dy in range(3):
         for dx in range(3):
@@ -62,7 +63,28 @@ def _fwd_kernel(xp_ref, wf_ref, out_ref, xtile, sem, *, TH, W, cin, cout):
 
 def conv3x3_supported(shape, cout, tile_h=8) -> bool:
     n, h, w, cin = shape
-    return h % tile_h == 0 and h >= tile_h
+    # w%8: the output block's sublane (width) dim must be tile-aligned.
+    if not (h % tile_h == 0 and h >= tile_h and w % 8 == 0):
+        return False
+    # Scoped-VMEM budget (16 MB on v5e): every kernel this conv can spawn
+    # (fwd, dgrad = fwd with cin/cout swapped, wgrad) must fit. The
+    # high-channel 8px blocks (e.g. 768->1536) exceed it — leave to XLA.
+    wp = w + 2 + ((-(w + 2)) % 8)
+
+    def fwd_est(ci, co):
+        ci_p = ci + ((-ci) % 128)
+        return (ci_p * 9 * co * 2               # wf block
+                + (tile_h + 2) * wp * ci_p * 2  # xtile scratch
+                + (tile_h + 2) * wp * 9 * co * 4  # t9 + acc (f32 stack)
+                + tile_h * w * co * 2)          # out block
+
+    cin_p = cin + ((-cin) % 128)
+    wgrad_est = ((tile_h + 2) * wp * cin_p * 2      # xtile
+                 + (tile_h + 2) * wp * 9 * cout * 2  # gpad scratch
+                 + cin_p * 9 * cout * 4             # dw accum block
+                 + tile_h * w * cout * 2)           # g block
+    est = max(fwd_est(cin, cout), fwd_est(cout, cin), wgrad_est)
+    return est <= 12 * 1024 * 1024
 
 
 @functools.partial(jax.jit, static_argnames=("tile_h",))
@@ -73,17 +95,22 @@ def conv3x3_pallas(x, w, tile_h: int = 8):
     cout = w.shape[-1]
     assert w.shape[:3] == (3, 3, cin), w.shape
     assert h % tile_h == 0, (h, tile_h)
-    # Manual DMA slices must be 128-aligned on the lane (channel) dim; pad
-    # Cin up (costs nothing on the MXU — K pads to 128-tiles regardless).
+    # Mosaic tiling constraints on the manually-DMA'd HBM input: the lane
+    # (channel) dim must be 128-aligned and the sublane (width) dim of both
+    # the HBM slice and the VMEM tile 8-aligned. Pad Cin to 128 (free — the
+    # MXU K dim pads to 128 regardless) and W+2 up to a multiple of 8 (the
+    # extra zero columns fall outside every dx tap slice, so they never
+    # contribute).
     cpad = (-cin) % 128
     cin_p = cin + cpad
-    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, cpad)))
+    wp = wd + 2 + ((-(wd + 2)) % 8)
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, wp - wd - 1), (0, cpad)))
     wf = jnp.pad(w.astype(x.dtype), ((0, 0), (0, 0), (0, cpad), (0, 0))
                  ).transpose(2, 0, 1, 3).reshape(cin_p, 9 * cout)
     cin = cin_p
 
     kernel = functools.partial(
-        _fwd_kernel, TH=tile_h, W=wd, cin=cin, cout=cout)
+        _fwd_kernel, TH=tile_h, W=wd, WP=wp, cin=cin, cout=cout)
     return pl.pallas_call(
         kernel,
         grid=(n, h // tile_h),
@@ -96,14 +123,14 @@ def conv3x3_pallas(x, w, tile_h: int = 8):
                                lambda ni, ii: (ni, ii, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((n, h, wd, cout), x.dtype),
         scratch_shapes=[
-            pltpu.VMEM((tile_h + 2, wd + 2, cin), x.dtype),
+            pltpu.VMEM((tile_h + 2, wp, cin), x.dtype),
             pltpu.SemaphoreType.DMA,
         ],
     )(xp, wf)
 
 
 def _wgrad_kernel(xp_ref, g_ref, dw_ref, xtile, gpad, sem, *,
-                  TH, W, cin, cout):
+                  TH, W, WP, cin, cout):
     n = pl.program_id(0)
     i = pl.program_id(1)
     cp = pltpu.make_async_copy(
@@ -125,7 +152,7 @@ def _wgrad_kernel(xp_ref, g_ref, dw_ref, xtile, gpad, sem, *,
             gpad[dy:dy + TH, dx:dx + W,
                  tap * cout:(tap + 1) * cout] = g
     cp.wait()
-    m = (TH + 2) * (W + 2)
+    m = (TH + 2) * WP
     dw_ref[...] += jax.lax.dot_general(
         xtile[...].reshape(m, cin), gpad[...].reshape(m, 9 * cout),
         (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
@@ -143,10 +170,11 @@ def conv3x3_wgrad_pallas(x, g, tile_h: int = 8):
     assert h % tile_h == 0, (h, tile_h)
     cpad = (-cin) % 128
     cin_p = cin + cpad
-    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, cpad)))
+    wp = wd + 2 + ((-(wd + 2)) % 8)
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, wp - wd - 1), (0, cpad)))
 
     kernel = functools.partial(
-        _wgrad_kernel, TH=tile_h, W=wd, cin=cin_p, cout=cout)
+        _wgrad_kernel, TH=tile_h, W=wd, WP=wp, cin=cin_p, cout=cout)
     dw = pl.pallas_call(
         kernel,
         grid=(n, h // tile_h),
@@ -159,8 +187,8 @@ def conv3x3_wgrad_pallas(x, g, tile_h: int = 8):
         out_specs=pl.BlockSpec((cin_p, 9 * cout), lambda ni, ii: (0, 0)),
         out_shape=jax.ShapeDtypeStruct((cin_p, 9 * cout), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((tile_h + 2, wd + 2, cin_p), x.dtype),
-            pltpu.VMEM((tile_h + 2, wd + 2, 9 * cout), g.dtype),
+            pltpu.VMEM((tile_h + 2, wp, cin_p), x.dtype),
+            pltpu.VMEM((tile_h + 2, wp, 9 * cout), g.dtype),
             pltpu.SemaphoreType.DMA,
         ],
     )(xp, g)

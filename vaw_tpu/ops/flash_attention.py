@@ -29,6 +29,7 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 
 import jax
 import jax.numpy as jnp
@@ -43,7 +44,8 @@ DEFAULT_BLOCK_K = 256
 # The kernel holds ~2 score-sized buffers (s and p) plus f32 q/k/v/acc
 # copies and (at long seq_k) resident K/V blocks, so the pallas_calls also
 # raise Mosaic's default 16MB scoped-vmem ceiling (v5e has 128MB VMEM).
-_SCORE_TILE_BYTES = 2 << 20
+_SCORE_TILE_BYTES = int(
+    os.environ.get("VAW_FLASH_TILE_BYTES", 2 << 20))
 _VMEM_LIMIT = 64 << 20
 _COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT)
 

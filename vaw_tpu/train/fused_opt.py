@@ -66,8 +66,11 @@ def fused_adamw_ema(
 
     def leaf(p, g, m, v, e):
         g = g.astype(jnp.float32)
-        m2 = b1 * m + (1.0 - b1) * g
-        v2 = b2 * v + (1.0 - b2) * jnp.square(g)
+        # Update math always in f32; m/v round-trip through their storage
+        # dtype (bf16 under cfg.opt_bf16_moments — the .astype on store
+        # below). With f32 storage this is a no-op.
+        m2 = b1 * m.astype(jnp.float32) + (1.0 - b1) * g
+        v2 = b2 * v.astype(jnp.float32) + (1.0 - b2) * jnp.square(g)
         update = (m2 / bc1) / (jnp.sqrt(v2 / bc2) + eps)
         if weight_decay:
             update = update + weight_decay * p

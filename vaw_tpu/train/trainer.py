@@ -12,6 +12,7 @@ replicated EMA fold in the state.
 
 from __future__ import annotations
 
+import functools
 import math
 from typing import Callable, Dict, Tuple
 
@@ -143,11 +144,29 @@ class Trainer:
         # EMA starts as a deep copy — distinct buffers, or donating the state
         # would donate the same buffer twice (f(donate(a), donate(a))).
         ema = jax.tree_util.tree_map(jnp.copy, params)
+        opt_state = self.tx.init(params)
+        if getattr(self.cfg, "opt_bf16_moments", False):
+            # bf16 moment STORAGE (update math stays f32 in fused_opt.leaf);
+            # params/EMA remain f32 masters. ~22% less optimizer HBM
+            # traffic; loss trajectory drift is bounded by
+            # tests/test_fused_opt.py::test_bf16_moments_close_to_f32.
+            assert self._use_fused_opt(), (
+                "--opt_bf16_moments requires the fused optimizer "
+                "(--fused_optimizer True, no --grad_clip)")
+            from .fused_opt import find_adam_state
+
+            i, adam = find_adam_state(opt_state)
+            cast = functools.partial(jax.tree_util.tree_map,
+                                     lambda a: a.astype(jnp.bfloat16))
+            opt_state = list(opt_state)
+            opt_state[i] = optax.ScaleByAdamState(
+                count=adam.count, mu=cast(adam.mu), nu=cast(adam.nu))
+            opt_state = tuple(opt_state)
         state = TrainState(
             step=jnp.zeros((), jnp.int32),
             params=params,
             ema_params=ema,
-            opt_state=self.tx.init(params),
+            opt_state=opt_state,
             resampler=(
                 self.resampler.init_state() if self.resampler else None
             ),
