@@ -54,6 +54,11 @@ def main():
         weight_type="lambda", mean_type="EPSILON", path_type="cosine",
         drop_label_prob=0.1, amp=True, lr=1e-4, betas=(0.9, 0.95),
         log_grad_norm=False,  # skip the metric-only extra grad read
+        # bf16 Adam-moment STORAGE (f32 update math + f32 master params/
+        # EMA): -4.7 ms/step optimizer bandwidth, trajectory drift bounded
+        # by tests/test_fused_opt.py::test_bf16_moments_close_to_f32.
+        # Reported in the JSON below; CLI default remains f32.
+        opt_bf16_moments=True,
     )
     model = DiT_B(
         image_size=32, patch_size=2, in_channels=4, class_dropout_prob=0.1,
@@ -121,7 +126,38 @@ def main():
         "vs_baseline": round(imgs_per_sec_chip / A100_BASELINE_IMGS_PER_SEC, 3),
         "batch": batch,
         "ms_per_step": round(ms_per_step, 1),
+        "opt_bf16_moments": True,
     }
+
+    # Per-slice device-time breakdown (best-effort): trace 3 steps and
+    # aggregate per hlo_category so the ratio above is auditable from this
+    # JSON alone (VERDICT r2 next-2 — every remaining slice vs its floor;
+    # see PERF.md "Round-3 flagship slices" for the floor analysis).
+    try:
+        import glob
+        import tempfile
+
+        from vaw_tpu.utils.profiling import summarize_xplane
+
+        outdir = tempfile.mkdtemp(prefix="vaw_bench_trace")
+        n_prof = 3
+        with jax.profiler.trace(outdir):
+            for _ in range(n_prof):
+                state, metrics = trainer.step(state, dev_batch)
+            float(metrics["loss"])
+        xp = glob.glob(outdir + "/**/*.xplane.pb", recursive=True)
+        if xp:
+            summ = summarize_xplane(xp[0])
+            if summ["categories"]:
+                out["slices_ms_per_step"] = {
+                    k: round(v / n_prof, 1)
+                    for k, v in summ["categories"].items()
+                    if v / n_prof >= 0.5
+                }
+                out["busy_ms_per_step"] = round(
+                    summ["busy_ms"] / n_prof, 1)
+    except Exception:  # noqa: BLE001 — tracing is evidence, not the metric
+        pass
     if tflops_per_step is not None:
         out["tflops_per_step"] = round(tflops_per_step, 2)
         out["achieved_tflops"] = round(tflops_per_step / (dt / n_steps), 1)

@@ -24,11 +24,11 @@ def one():
     import numpy as np
     from vaw_tpu.ops.flash_attention import flash_attention
 
-    bh, t, d = 160 * 12, 256, 64
+    b, h, t, d = 160, 12, 256, 64
     rs = np.random.RandomState(0)
-    q = jnp.asarray(rs.randn(bh, t, d), jnp.bfloat16)
-    k = jnp.asarray(rs.randn(bh, t, d), jnp.bfloat16)
-    v = jnp.asarray(rs.randn(bh, t, d), jnp.bfloat16)
+    q = jnp.asarray(rs.randn(b, t, h, d), jnp.bfloat16)
+    k = jnp.asarray(rs.randn(b, t, h, d), jnp.bfloat16)
+    v = jnp.asarray(rs.randn(b, t, h, d), jnp.bfloat16)
 
     def loss(q, k, v):
         return jnp.sum(flash_attention(q, k, v).astype(jnp.float32) ** 2)
@@ -40,7 +40,7 @@ def one():
             out = fn(c, *args[1:])
             leaf = jax.tree_util.tree_leaves(out)[0]
             bump = (jnp.sum(leaf.astype(jnp.float32)) * 1e-12).astype(c.dtype)
-            return c.at[0, 0, 0].add(bump), ()
+            return c.at[0, 0, 0, 0].add(bump), ()
 
         @jax.jit
         def run(c):

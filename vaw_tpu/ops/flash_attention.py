@@ -44,8 +44,12 @@ DEFAULT_BLOCK_K = 256
 # The kernel holds ~2 score-sized buffers (s and p) plus f32 q/k/v/acc
 # copies and (at long seq_k) resident K/V blocks, so the pallas_calls also
 # raise Mosaic's default 16MB scoped-vmem ceiling (v5e has 128MB VMEM).
+# 8MB default from the round-3 sweep at the flagship shape (bh=1920,
+# T=256): grad 2.64 -> 2.20 ms/layer vs the old 2MB tile (block_b 8 -> 32,
+# 240 -> 60 grid steps); fwd flat. 16MB regressed fwd. probes/
+# _flash_tile_sweep.py.
 _SCORE_TILE_BYTES = int(
-    os.environ.get("VAW_FLASH_TILE_BYTES", 2 << 20))
+    os.environ.get("VAW_FLASH_TILE_BYTES", 8 << 20))
 _VMEM_LIMIT = 64 << 20
 _COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT)
 
