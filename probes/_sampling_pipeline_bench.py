@@ -78,7 +78,29 @@ try:
     proj = 50_000 / (batch / dt_full) / 60
     print(f"[50k projection] {proj:.1f} min on one chip", flush=True)
 except Exception as e:  # noqa: BLE001 — VAE weights absent in zero-egress
-    print(f"[latent+vae] unavailable: {e}", flush=True)
-    proj = 50_000 / (batch / dt_latent) / 60
-    print(f"[50k projection, latent-only] {proj:.1f} min on one chip",
-          flush=True)
+    print(f"[latent+vae] checkpoint absent ({e}); timing decode with "
+          f"RANDOM weights (cost is weight-independent)", flush=True)
+    from vaw_tpu.models.vae import AutoencoderKL
+
+    vae = AutoencoderKL(dtype=jnp.bfloat16)
+    zi = jnp.zeros((2, 32, 32, 4), jnp.float32)
+    vvars = vae.init(jax.random.key(1), zi, jax.random.key(2))
+
+    @jax.jit
+    def vae_decode(z):
+        return vae.apply(vvars, z, method=vae.decode)
+
+    sampler_vae = Sampler(cfg, model_fn, diffusion=None,
+                          vae_decode_fn=vae_decode, params=params)
+    for trial in range(2):
+        rng2 = jax.random.fold_in(rng, 10 + trial)
+        t0 = time.perf_counter()
+        samples, labels = sampler_vae.sample(rng2, batch, batch, 32, 1000,
+                                             progress_bar=False)
+        np.asarray(samples[:1])
+        dt_full = time.perf_counter() - t0
+    print(f"[latent+vae]  guidance={guidance} batch={batch} "
+          f"{dt_full*1e3:.0f} ms -> {batch/dt_full:.1f} imgs/s  "
+          f"(vae share {100*(dt_full-dt_latent)/dt_full:.0f}%)", flush=True)
+    proj = 50_000 / (batch / dt_full) / 60
+    print(f"[50k projection] {proj:.1f} min on one chip", flush=True)

@@ -24,11 +24,12 @@ from vaw_tpu.train import Trainer
 from vaw_tpu.utils.config import TrainConfig
 
 batch = int(sys.argv[1]) if len(sys.argv) > 1 else 64
+bf16_moments = os.environ.get("VAW_BF16_MOMENTS", "0") == "1"
 cfg = TrainConfig(model="ADM-64", image_size=64, in_chans=3,
                   num_classes=1000, class_cond=True, batch_size=batch,
                   weight_type="lambda", mean_type="EPSILON",
                   path_type="cosine", amp=True, lr=1e-4,
-                  log_grad_norm=False)
+                  log_grad_norm=False, opt_bf16_moments=bf16_moments)
 model = build_model(cfg)
 sched = make_schedule(get_named_beta_schedule("cosine", 1000))
 proc = GaussianDiffusion(schedule=sched,
@@ -50,5 +51,6 @@ for _ in range(n):
     state, m = tr.step(state, db)
 float(m["loss"])
 dt = (time.perf_counter() - t0) / n
-print(f"pallas_conv={os.environ.get('VAW_PALLAS_CONV', '0')} batch={batch} "
+print(f"pallas_conv={os.environ.get('VAW_PALLAS_CONV', '0')} "
+      f"bf16_moments={int(bf16_moments)} batch={batch} "
       f"{dt*1e3:.1f} ms/step  {batch/dt:.1f} imgs/s/chip", flush=True)

@@ -225,3 +225,38 @@ def test_conv3x3_pallas_interpret_fwd_bwd():
                                    atol=2e-4, rtol=1e-4)
     finally:
         pl.pallas_call = orig
+
+
+def test_packed_qkv_attention_matches_unpacked():
+    """multi_head_attention_packed (fused-projection entry) must be
+    numerically identical to split + multi_head_attention on both paths
+    (flash interpret + xla math), including gradients."""
+    import jax
+    import jax.numpy as jnp
+    from vaw_tpu.ops.attention import (
+        multi_head_attention, multi_head_attention_packed,
+    )
+
+    rs = np.random.RandomState(3)
+    b, t, h, d = 2, 64, 4, 16
+    qkv = jnp.asarray(rs.randn(b, t, 3, h, d), jnp.float32)
+
+    for use_pallas in (False, True):
+        ref = multi_head_attention(
+            qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2],
+            use_pallas=use_pallas)
+        out = multi_head_attention_packed(qkv, use_pallas=use_pallas)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-5, rtol=2e-5)
+
+        def loss_p(a, up=use_pallas):
+            return jnp.sum(multi_head_attention_packed(a, use_pallas=up) ** 2)
+
+        def loss_u(a, up=use_pallas):
+            return jnp.sum(multi_head_attention(
+                a[:, :, 0], a[:, :, 1], a[:, :, 2], use_pallas=up) ** 2)
+
+        gp = jax.grad(loss_p)(qkv)
+        gu = jax.grad(loss_u)(qkv)
+        np.testing.assert_allclose(np.asarray(gp), np.asarray(gu),
+                                   atol=3e-4, rtol=3e-4)

@@ -84,3 +84,44 @@ def multi_head_attention(
 
         return flash_attention(q, k, v, scale=scale)
     return _xla_attention(q, k, v, scale)
+
+
+def packed_qkv_enabled() -> bool:
+    """Routing flag for the fused-projection attention entry (layers.py
+    MultiHeadSelfAttention). Default ON: the one-2D-transpose packed form
+    measured 914.9 vs 900.0 imgs/s on the flagship bench (data-formatting
+    slice 12.9 -> 6.9 ms/step; PERF.md round 3). VAW_PACKED_QKV=0 is the
+    kill-switch (also reverts to the round-2 split path on any platform
+    where the packed layout regresses)."""
+    import os
+
+    return os.environ.get("VAW_PACKED_QKV", "1") == "1"
+
+
+def multi_head_attention_packed(
+    qkv: jnp.ndarray,
+    scale: Optional[float] = None,
+    use_pallas: Optional[bool] = None,
+) -> jnp.ndarray:
+    """Fused-projection MHA: qkv [B, T, 3, H, D] -> [B, T, H, D].
+
+    Same routing as multi_head_attention; the flash path consumes the
+    packed projection directly (one transpose + leading-dim slices instead
+    of split + per-tensor transposes)."""
+    b, t, three, h, d = qkv.shape
+    assert three == 3, qkv.shape
+    if scale is None:
+        scale = 1.0 / math.sqrt(d)
+    if use_pallas is None:
+        import os
+
+        on_tpu = jax.devices()[0].platform in ("tpu", "axon")
+        use_pallas = (on_tpu and t >= _FLASH_MIN_SEQ
+                      and d % 8 == 0 and d <= 256 and t <= 4096
+                      and not os.environ.get("VAW_DISABLE_FLASH"))
+    if use_pallas:
+        from .flash_attention import flash_attention_packed
+
+        return flash_attention_packed(qkv, scale=scale)
+    q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+    return _xla_attention(q, k, v, scale)
