@@ -260,3 +260,38 @@ def test_packed_qkv_attention_matches_unpacked():
         gu = jax.grad(loss_u)(qkv)
         np.testing.assert_allclose(np.asarray(gp), np.asarray(gu),
                                    atol=3e-4, rtol=3e-4)
+
+
+def test_packed5_zero_copy_flash_matches_math():
+    """The zero-copy packed kernel (_flash_p5: q/k/v as BlockSpec views of
+    one [b,3,h,d,t] buffer, dqkv as one output) must match the math path
+    at its gating shape (t == 256) for both outputs and grads."""
+    import jax
+    import jax.numpy as jnp
+    from vaw_tpu.ops.attention import (
+        multi_head_attention, multi_head_attention_packed,
+    )
+    from vaw_tpu.ops.flash_attention import _packed5_supported
+
+    rs = np.random.RandomState(7)
+    b, t, h, d = 2, 256, 8, 16
+    assert _packed5_supported(b, h, d, t)
+    qkv = jnp.asarray(rs.randn(b, t, 3, h, d) * 0.3, jnp.float32)
+
+    ref = multi_head_attention(qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2],
+                               use_pallas=False)
+    out = multi_head_attention_packed(qkv, use_pallas=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+
+    def loss_p(a):
+        return jnp.sum(multi_head_attention_packed(a, use_pallas=True) ** 2)
+
+    def loss_u(a):
+        return jnp.sum(multi_head_attention(
+            a[:, :, 0], a[:, :, 1], a[:, :, 2], use_pallas=False) ** 2)
+
+    gp = jax.grad(loss_p)(qkv)
+    gu = jax.grad(loss_u)(qkv)
+    np.testing.assert_allclose(np.asarray(gp), np.asarray(gu),
+                               atol=5e-4, rtol=5e-4)

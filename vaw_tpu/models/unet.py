@@ -190,15 +190,22 @@ class AttentionBlock(nn.Module):
         tokens = x.reshape(n, h * w, c)
         y = GroupNorm32()(tokens)
         qkv = nn.Dense(3 * c, dtype=self.dtype)(y)
-        # split-then-reshape: the strided 5D slice forces layout copies on
-        # the qkv gradient path (see models/layers.py MultiHeadSelfAttention)
-        q, k, v = jnp.split(qkv, 3, axis=-1)
         hd = c // heads
-        out = multi_head_attention(
-            q.reshape(n, h * w, heads, hd),
-            k.reshape(n, h * w, heads, hd),
-            v.reshape(n, h * w, heads, hd),
-        )
+        from ..ops.attention import multi_head_attention_packed, \
+            packed_qkv_enabled
+
+        if packed_qkv_enabled():
+            # one 2D swapaxes + leading slices (PERF.md round-3 packed-QKV
+            # table) instead of the lane-dim split + 3 d-major transposes
+            out = multi_head_attention_packed(
+                qkv.reshape(n, h * w, 3, heads, hd))
+        else:
+            q, k, v = jnp.split(qkv, 3, axis=-1)
+            out = multi_head_attention(
+                q.reshape(n, h * w, heads, hd),
+                k.reshape(n, h * w, heads, hd),
+                v.reshape(n, h * w, heads, hd),
+            )
         out = out.reshape(n, h * w, c)
         out = nn.Dense(c, dtype=self.dtype, kernel_init=zeros_init,
                        bias_init=zeros_init)(out)

@@ -46,7 +46,14 @@ class UViTBlock(nn.Module):
         qkv = nn.Dense(3 * d, use_bias=self.qkv_bias, dtype=self.dtype,
                        kernel_init=trunc_normal_init(0.02))(y)
         qkv = qkv.reshape(n, t, 3, self.num_heads, d // self.num_heads)
-        attn = multi_head_attention(qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2])
+        from ..ops.attention import multi_head_attention_packed, \
+            packed_qkv_enabled
+
+        if packed_qkv_enabled():
+            attn = multi_head_attention_packed(qkv)
+        else:
+            attn = multi_head_attention(
+                qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2])
         attn = nn.Dense(d, dtype=self.dtype,
                         kernel_init=trunc_normal_init(0.02))(
             attn.reshape(n, t, d)

@@ -105,8 +105,17 @@ class ViTAttention(nn.Module):
         qkv = nn.Dense(3 * d, use_bias=self.qkv_bias, dtype=self.dtype,
                        kernel_init=trunc_normal_init(0.02))(x)
         qkv = qkv.reshape(n, t, 3, self.num_heads, head_dim)
-        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
-        if rel_pos_bias is None:
+        from ..ops.attention import multi_head_attention_packed, \
+            packed_qkv_enabled
+
+        if rel_pos_bias is None and packed_qkv_enabled():
+            out = multi_head_attention_packed(qkv)
+            q = k = v = None
+        else:
+            q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+        if q is None:
+            pass  # packed path above
+        elif rel_pos_bias is None:
             out = multi_head_attention(q, k, v)
         else:
             scale = 1.0 / math.sqrt(head_dim)

@@ -336,8 +336,177 @@ def flash_attention_packed(qkv, scale=None):
     # the transpose(2,0,3,4,1) form), then leading-ish slices.
     f = jnp.swapaxes(qkv.reshape(b, t, 3 * h * d), 1, 2)
     f = f.reshape(b, 3, h, d, t)
-    q = f[:, 0].reshape(b * h, d, t)
-    k = f[:, 1].reshape(b * h, d, t)
-    v = f[:, 2].reshape(b * h, d, t)
-    out = _flash(q, k, v, float(scale))
+    if _packed5_supported(b, h, d, t):
+        # Zero-copy: q/k/v are BlockSpec views of f itself; dqkv comes
+        # back as one [b,3,h,d,t] array (no slice copies / no concat).
+        out = _flash_p5(f, float(scale))
+    else:
+        q = f[:, 0].reshape(b * h, d, t)
+        k = f[:, 1].reshape(b * h, d, t)
+        v = f[:, 2].reshape(b * h, d, t)
+        out = _flash(q, k, v, float(scale))
     return out.reshape(b, h, d, t).transpose(0, 3, 1, 2)
+
+
+# ------------------------------------------------------------------ #
+# Zero-copy packed path: q/k/v are three BlockSpec VIEWS of the SAME
+# [b, 3, h, d, t] buffer (the swapaxes'd fused projection) — no slice
+# copies on the forward, and the backward writes dq/dk/dv into ONE
+# [b, 3, h, d, t] output (no concatenate on the qkv gradient path).
+# Restricted to single-q-block shapes (t == DEFAULT_BLOCK_Q, the DiT/
+# flagship T=256 regime): every dqkv section is then written exactly
+# once per grid step, so no cross-step f32 accumulation is needed.
+# ------------------------------------------------------------------ #
+
+
+def _pick_p5_bb(b: int, h: int, d: int, t: int):
+    """Largest batch-block Bb such that (Bb*h) satisfies the Mosaic
+    sublane rule for the [bh, t] lse block and the f32 score/operand
+    tiles fit comfortably in VMEM (<= ~40MB of the 64MB limit)."""
+    for bb in (4, 2, 1):
+        rows = bb * h
+        if b % bb or (rows % 8 and rows != b * h):
+            continue
+        est = rows * t * t * 4 * 2 + rows * d * t * 4 * 5
+        if est <= 40 << 20:
+            return bb
+    return None
+
+
+def _packed5_supported(b, h, d, t) -> bool:
+    return (t == DEFAULT_BLOCK_Q and t % DEFAULT_BLOCK_K == 0
+            and d % 8 == 0 and d <= 128
+            and _pick_p5_bb(b, h, d, t) is not None)
+
+
+def _fwd_kernel_p5(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale, block_k,
+                   seq_k):
+    bb5, _, h, d, t = q_ref.shape
+    bb = bb5 * h
+    q = q_ref[...].reshape(bb, d, t).astype(jnp.float32) * scale
+
+    def body(j, carry):
+        acc, m_i, l_i = carry
+        ks = pl.ds(j * block_k, block_k)
+        k = k_ref[:, :, :, :, ks].reshape(bb, d, block_k).astype(jnp.float32)
+        v = v_ref[:, :, :, :, ks].reshape(bb, d, block_k).astype(jnp.float32)
+        kt = jnp.swapaxes(k, 1, 2)
+        st = _bmm(kt, q, ((2,), (1,)))  # [bb, bk, bq]
+        m_new = jnp.maximum(m_i, jnp.max(st, axis=1))
+        alpha = jnp.exp(m_i - m_new)
+        p = jnp.exp(st - m_new[:, None, :])
+        acc = acc * alpha[:, None, :] + _bmm(v, p, ((2,), (1,)))
+        l_i = l_i * alpha + jnp.sum(p, axis=1)
+        return acc, m_new, l_i
+
+    acc = jnp.zeros((bb, d, t), jnp.float32)
+    m_i = jnp.full((bb, t), -1e30, jnp.float32)
+    l_i = jnp.zeros((bb, t), jnp.float32)
+    acc, m_i, l_i = jax.lax.fori_loop(
+        0, seq_k // block_k, body, (acc, m_i, l_i))
+    o_ref[...] = (acc / l_i[:, None, :]).astype(o_ref.dtype)
+    lse_ref[...] = m_i + jnp.log(l_i)
+
+
+def _bwd_kernel_p5(q_ref, k_ref, v_ref, o_ref, lse_ref, do_ref, dqkv_ref,
+                   *, scale, block_k, seq_k):
+    bb5, _, h, d, t = q_ref.shape
+    bb = bb5 * h
+    q = q_ref[...].reshape(bb, d, t).astype(jnp.float32) * scale
+    do = do_ref[...].astype(jnp.float32)
+    o = o_ref[...].astype(jnp.float32)
+    lse = lse_ref[...]
+    delta = jnp.sum(do * o, axis=1)
+    qt = jnp.swapaxes(q, 1, 2)
+    dot = jnp.swapaxes(do, 1, 2)
+
+    def body(j, dq):
+        ks = pl.ds(j * block_k, block_k)
+        k = k_ref[:, :, :, :, ks].reshape(bb, d, block_k).astype(jnp.float32)
+        v = v_ref[:, :, :, :, ks].reshape(bb, d, block_k).astype(jnp.float32)
+        kt = jnp.swapaxes(k, 1, 2)
+        vt = jnp.swapaxes(v, 1, 2)
+        st = _bmm(kt, q, ((2,), (1,)))
+        p = jnp.exp(st - lse[:, None, :])
+        dp = _bmm(vt, do, ((2,), (1,)))
+        ds = p * (dp - delta[:, None, :])
+        dvt = _bmm(p, dot, ((2,), (1,)))
+        dkt = _bmm(ds, qt, ((2,), (1,)))
+        # single q block: each K section is written exactly once
+        dqkv_ref[:, 2, :, :, ks] = jnp.swapaxes(dvt, 1, 2).reshape(
+            bb5, h, d, block_k).astype(dqkv_ref.dtype)
+        dqkv_ref[:, 1, :, :, ks] = jnp.swapaxes(dkt, 1, 2).reshape(
+            bb5, h, d, block_k).astype(dqkv_ref.dtype)
+        return dq + _bmm(k, ds, ((2,), (1,)))
+
+    dq = jnp.zeros(q.shape, jnp.float32)
+    dq = jax.lax.fori_loop(0, seq_k // block_k, body, dq)
+    dqkv_ref[:, 0] = (dq * scale).reshape(bb5, h, d, t).astype(
+        dqkv_ref.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def _flash_p5(f5, scale):
+    out, _ = _flash_p5_fwd(f5, scale)
+    return out
+
+
+def _flash_p5_fwd(f5, scale):
+    b, three, h, d, t = f5.shape
+    bb = _pick_p5_bb(b, h, d, t)
+    block_k = min(DEFAULT_BLOCK_K, t)
+    kernel = functools.partial(
+        _fwd_kernel_p5, scale=scale, block_k=block_k, seq_k=t)
+    view = lambda j: pl.BlockSpec(  # noqa: E731
+        (bb, 1, h, d, t), lambda i, j=j: (i, j, 0, 0, 0),
+        memory_space=pltpu.VMEM)
+    out, lse = pl.pallas_call(
+        kernel,
+        grid=(b // bb,),
+        in_specs=[view(0), view(1), view(2)],
+        out_specs=[
+            pl.BlockSpec((bb * h, d, t), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bb * h, t), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b * h, d, t), f5.dtype),
+            jax.ShapeDtypeStruct((b * h, t), jnp.float32),
+        ],
+        interpret=_interpret(),
+        compiler_params=_COMPILER_PARAMS,
+    )(f5, f5, f5)
+    return out, (f5, out, lse)
+
+
+def _flash_p5_bwd(scale, res, g):
+    f5, out, lse = res
+    b, three, h, d, t = f5.shape
+    bb = _pick_p5_bb(b, h, d, t)
+    block_k = min(DEFAULT_BLOCK_K, t)
+    kernel = functools.partial(
+        _bwd_kernel_p5, scale=scale, block_k=block_k, seq_k=t)
+    view = lambda j: pl.BlockSpec(  # noqa: E731
+        (bb, 1, h, d, t), lambda i, j=j: (i, j, 0, 0, 0),
+        memory_space=pltpu.VMEM)
+    ohd = lambda: pl.BlockSpec(  # noqa: E731
+        (bb * h, d, t), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    dqkv = pl.pallas_call(
+        kernel,
+        grid=(b // bb,),
+        in_specs=[view(0), view(1), view(2), ohd(),
+                  pl.BlockSpec((bb * h, t), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+                  ohd()],
+        out_specs=pl.BlockSpec((bb, 3, h, d, t),
+                               lambda i: (i, 0, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, 3, h, d, t), f5.dtype),
+        interpret=_interpret(),
+        compiler_params=_COMPILER_PARAMS,
+    )(f5, f5, f5, out, lse, g)
+    return (dqkv,)
+
+
+_flash_p5.defvjp(lambda f5, scale: _flash_p5_fwd(f5, scale), _flash_p5_bwd)
