@@ -295,3 +295,38 @@ def test_packed5_zero_copy_flash_matches_math():
     gu = jax.grad(loss_u)(qkv)
     np.testing.assert_allclose(np.asarray(gp), np.asarray(gu),
                                atol=5e-4, rtol=5e-4)
+
+    # d_major_out layout contract: [b, h*d, t] == transpose of the default
+    dm = multi_head_attention_packed(qkv, use_pallas=True, d_major_out=True)
+    np.testing.assert_allclose(
+        np.asarray(dm),
+        np.asarray(out).transpose(0, 2, 3, 1).reshape(b, h * d, t),
+        atol=2e-5, rtol=2e-5)
+
+
+def test_p6_tmajor_fused_flash_matches_math():
+    """_flash_p6: the fully t-major kernel (raw [B,T,3HD] input, VMEM
+    relayout) matches plain-math attention in value and qkv-gradient."""
+    from vaw_tpu.ops.flash_attention import (
+        flash_attention_fused, flash_fused_supported)
+
+    b, t, h, d = 4, 256, 12, 64
+    assert flash_fused_supported(b, h, d, t)
+    key = jax.random.PRNGKey(7)
+    f = jax.random.normal(key, (b, t, 3 * h * d), jnp.float32) * 0.5
+
+    def ref(f):
+        qkv = f.reshape(b, t, 3, h, d)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+        s = jnp.einsum("bthd,bshd->bhts", q, k) / np.sqrt(d)
+        p = jax.nn.softmax(s, axis=-1)
+        return jnp.einsum("bhts,bshd->bthd", p, v).reshape(b, t, h * d)
+
+    out = flash_attention_fused(f, h)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref(f)),
+                               atol=5e-5, rtol=5e-5)
+    g = jax.random.normal(jax.random.PRNGKey(8), (b, t, h * d))
+    gp = jax.grad(lambda f: jnp.sum(flash_attention_fused(f, h) * g))(f)
+    gu = jax.grad(lambda f: jnp.sum(ref(f) * g))(f)
+    np.testing.assert_allclose(np.asarray(gp), np.asarray(gu),
+                               atol=5e-4, rtol=5e-4)

@@ -228,12 +228,23 @@ class MultiHeadSelfAttention(nn.Module):
         head_dim = d // self.num_heads
         qkv = nn.Dense(3 * d, use_bias=self.qkv_bias, dtype=self.dtype,
                        kernel_init=xavier_uniform_init)(x)
-        from ..ops.attention import packed_qkv_enabled
+        from ..ops.attention import fused_tmajor_enabled, packed_qkv_enabled
 
-        if self.seq_axis is None and packed_qkv_enabled():
+        if self.seq_axis is None and fused_tmajor_enabled():
+            # Fully t-major path: the Pallas kernel reads the raw [n,t,3d]
+            # projection through lane-dim BlockSpec views and relayouts in
+            # VMEM — zero host-side transposes around attention.
+            from ..ops.attention import multi_head_attention_fused
+
+            out = multi_head_attention_fused(qkv, self.num_heads)
+        elif self.seq_axis is None and packed_qkv_enabled():
             # Packed path: hand the fused projection straight to the flash
-            # wrapper ([n,t,3,H,hd] -> one transpose -> leading-dim q/k/v
-            # slices). Avoids the lane-dim split + 3 d-major transposes.
+            # wrapper ([n,t,3,H,hd] -> one transpose -> zero-copy BlockSpec
+            # views at t==256). Avoids the lane-dim split + 3 d-major
+            # transposes. (The further step of keeping the output d-major
+            # into a DenseGeneral(axis=1) projection was MEASURED WORSE —
+            # 174.0 vs 171.0 ms/step; XLA's folded contraction transpose
+            # loses to the explicit one. PERF.md round 3.)
             from ..ops.attention import multi_head_attention_packed
 
             out = multi_head_attention_packed(

@@ -14,6 +14,7 @@ by sequence length.
 from __future__ import annotations
 
 import math
+import os
 from typing import Optional
 
 import jax
@@ -98,16 +99,55 @@ def packed_qkv_enabled() -> bool:
     return os.environ.get("VAW_PACKED_QKV", "1") == "1"
 
 
+def fused_tmajor_enabled() -> bool:
+    """Routing flag for the fully t-major fused attention entry (_flash_p6):
+    the kernel consumes the RAW [B,T,3HD] Dense output via lane-dim
+    BlockSpec views and relayouts in VMEM (minor-2 batched transpose +
+    sublane split — the Mosaic-supported order), eliminating every
+    host-side transpose around attention. Default ON: flagship bench
+    935.6 -> 1009.2 imgs/s (the 13.9 ms data-formatting slice vanishes,
+    flash custom-call grows only 14.1 -> 15.1 ms; PERF.md round 3).
+    VAW_FUSED_TMAJOR=0 is the kill-switch. Unsupported shapes fall back
+    to the packed path inside multi_head_attention_fused."""
+    import os
+
+    return os.environ.get("VAW_FUSED_TMAJOR", "1") == "1"
+
+
+def multi_head_attention_fused(qkv2d: jnp.ndarray, num_heads: int,
+                               scale: Optional[float] = None) -> jnp.ndarray:
+    """Fully t-major fused-projection MHA: qkv2d [B, T, 3*H*D] (raw Dense
+    output, last-axis layout (3, H, D)) -> [B, T, H*D]. Routes to the
+    zero-transpose Pallas kernel when supported, else falls back to the
+    packed path (one 2D swapaxes)."""
+    from .flash_attention import flash_attention_fused, flash_fused_supported
+
+    b, t, hd3 = qkv2d.shape
+    d = hd3 // 3 // num_heads
+    if (jax.default_backend() == "tpu"
+            or os.environ.get("VAW_FLASH_INTERPRET")) \
+            and not os.environ.get("VAW_DISABLE_FLASH") \
+            and flash_fused_supported(b, num_heads, d, t):
+        return flash_attention_fused(qkv2d, num_heads, scale=scale)
+    out = multi_head_attention_packed(
+        qkv2d.reshape(b, t, 3, num_heads, d), scale=scale)
+    return out.reshape(b, t, num_heads * d)
+
+
 def multi_head_attention_packed(
     qkv: jnp.ndarray,
     scale: Optional[float] = None,
     use_pallas: Optional[bool] = None,
+    d_major_out: bool = False,
 ) -> jnp.ndarray:
-    """Fused-projection MHA: qkv [B, T, 3, H, D] -> [B, T, H, D].
+    """Fused-projection MHA: qkv [B, T, 3, H, D] -> [B, T, H, D], or
+    d-major [B, H*D, T] when d_major_out (contract with a
+    DenseGeneral(axis=1) out-projection to skip the final transpose pair).
 
     Same routing as multi_head_attention; the flash path consumes the
-    packed projection directly (one transpose + leading-dim slices instead
-    of split + per-tensor transposes)."""
+    packed projection directly (one transpose + leading-dim slices — or
+    zero-copy BlockSpec views at t==256 — instead of split + per-tensor
+    transposes)."""
     b, t, three, h, d = qkv.shape
     assert three == 3, qkv.shape
     if scale is None:
@@ -122,6 +162,10 @@ def multi_head_attention_packed(
     if use_pallas:
         from .flash_attention import flash_attention_packed
 
-        return flash_attention_packed(qkv, scale=scale)
+        return flash_attention_packed(qkv, scale=scale,
+                                      d_major_out=d_major_out)
     q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
-    return _xla_attention(q, k, v, scale)
+    out = _xla_attention(q, k, v, scale)
+    if d_major_out:
+        return out.transpose(0, 2, 3, 1).reshape(b, h * d, t)
+    return out

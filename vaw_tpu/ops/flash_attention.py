@@ -319,8 +319,11 @@ def flash_attention(q, k, v, scale=None):
     return out.reshape(b, h, d, tq).transpose(0, 3, 1, 2)
 
 
-def flash_attention_packed(qkv, scale=None):
-    """Fused-projection self-attention: qkv [B, T, 3, H, D] -> [B, T, H, D].
+def flash_attention_packed(qkv, scale=None, d_major_out=False):
+    """Fused-projection self-attention: qkv [B, T, 3, H, D] -> [B, T, H, D]
+    (or d-major [B, H*D, T] when d_major_out — callers can contract that
+    layout directly with a DenseGeneral(axis=1) out-projection and skip the
+    final transpose pair entirely).
 
     Skips the lane-dim split + three separate d-major transposes of the
     unpacked path: ONE fused reshape+transpose produces [3, B*H, D, T] and
@@ -345,6 +348,8 @@ def flash_attention_packed(qkv, scale=None):
         k = f[:, 1].reshape(b * h, d, t)
         v = f[:, 2].reshape(b * h, d, t)
         out = _flash(q, k, v, float(scale))
+    if d_major_out:
+        return out.reshape(b, h * d, t)
     return out.reshape(b, h, d, t).transpose(0, 3, 1, 2)
 
 
@@ -510,3 +515,166 @@ def _flash_p5_bwd(scale, res, g):
 
 
 _flash_p5.defvjp(lambda f5, scale: _flash_p5_fwd(f5, scale), _flash_p5_bwd)
+
+
+# ------------------------------------------------------------------ #
+# t-major zero-transpose path (p6): the kernel consumes the RAW fused
+# projection [b, t, 3hd] via three LANE-dim BlockSpec views (hd-lane
+# chunks — no HBM padding, no host-side transposes at all), relayouts
+# t-major -> d-major inside VMEM, and writes o / dqkv back t-major so
+# the out-projection and the qkv Dense backward consume them natively.
+# Same single-q-block gating as p5 (t == DEFAULT_BLOCK_Q).
+# ------------------------------------------------------------------ #
+
+
+def _packed6_supported(b, h, d, t) -> bool:
+    return ((h * d) % 128 == 0 and _packed5_supported(b, h, d, t))
+
+
+def _t2d(x5, Bb, t, h, d):
+    """[Bb, t, hd] VMEM value -> d-major [Bb*h, d, t].
+
+    Order matters for Mosaic: transpose the minor-2 dims FIRST (batched
+    2D transpose), THEN split the now-sublane hd dim into (h, d) — a
+    lane-dim split (t,hd)->(t,h,d) is an unsupported shape cast."""
+    return x5.swapaxes(1, 2).reshape(Bb * h, d, t)
+
+
+def _fwd_kernel_p6(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale, block_k,
+                   seq_k, h):
+    # Single-k-block regime (t == block_k, enforced by _packed6_supported):
+    # no streaming loop — one softmax over the full score tile.
+    Bb, t, hd = q_ref.shape
+    d = hd // h
+    q = _t2d(q_ref[...], Bb, t, h, d).astype(jnp.float32) * scale
+    k = _t2d(k_ref[...], Bb, t, h, d).astype(jnp.float32)
+    v = _t2d(v_ref[...], Bb, t, h, d).astype(jnp.float32)
+    kt = jnp.swapaxes(k, 1, 2)
+    st = _bmm(kt, q, ((2,), (1,)))           # [bb, tk, tq]
+    m_i = jnp.max(st, axis=1)
+    p = jnp.exp(st - m_i[:, None, :])
+    l_i = jnp.sum(p, axis=1)
+    acc = _bmm(v, p, ((2,), (1,)))           # [bb, d, tq]
+    o = acc / l_i[:, None, :]
+    # d-major -> t-major write: merge (h,d) on the sublane axis, then one
+    # batched minor-2 transpose. [bb, d, t] -> [Bb, hd, t] -> [Bb, t, hd]
+    o_ref[...] = o.reshape(Bb, h * d, t).swapaxes(1, 2).astype(o_ref.dtype)
+    lse_ref[...] = m_i + jnp.log(l_i)
+
+
+def _bwd_kernel_p6(q_ref, k_ref, v_ref, o_ref, lse_ref, do_ref, dqkv_ref,
+                   *, scale, block_k, seq_k, h):
+    Bb, t, hd3 = dqkv_ref.shape
+    hd = hd3 // 3
+    d = hd // h
+    q = _t2d(q_ref[...], Bb, t, h, d).astype(jnp.float32) * scale
+    k = _t2d(k_ref[...], Bb, t, h, d).astype(jnp.float32)
+    v = _t2d(v_ref[...], Bb, t, h, d).astype(jnp.float32)
+    do = _t2d(do_ref[...], Bb, t, h, d).astype(jnp.float32)
+    o = _t2d(o_ref[...], Bb, t, h, d).astype(jnp.float32)
+    lse = lse_ref[...]
+    delta = jnp.sum(do * o, axis=1)
+    qt = jnp.swapaxes(q, 1, 2)
+    dot = jnp.swapaxes(do, 1, 2)
+
+    def d2t(x):  # [bb, d, t] -> [Bb, t, hd] (merge majors, then minor-2
+        # batched transpose — the Mosaic-supported order)
+        return x.reshape(Bb, hd, t).swapaxes(1, 2)
+
+    # Single k-block (t == block_k): straight-line, no streaming loop.
+    kt = jnp.swapaxes(k, 1, 2)
+    vt = jnp.swapaxes(v, 1, 2)
+    st = _bmm(kt, q, ((2,), (1,)))
+    p = jnp.exp(st - lse[:, None, :])
+    dp = _bmm(vt, do, ((2,), (1,)))
+    ds = p * (dp - delta[:, None, :])
+    dv_ = jnp.swapaxes(_bmm(p, dot, ((2,), (1,))), 1, 2)   # [bb, d, t]
+    dk_ = jnp.swapaxes(_bmm(ds, qt, ((2,), (1,))), 1, 2)
+    dq_ = _bmm(k, ds, ((2,), (1,)))
+    dqkv_ref[:, :, 0:hd] = d2t(dq_ * scale).astype(dqkv_ref.dtype)
+    dqkv_ref[:, :, hd:2 * hd] = d2t(dk_).astype(dqkv_ref.dtype)
+    dqkv_ref[:, :, 2 * hd:] = d2t(dv_).astype(dqkv_ref.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
+def _flash_p6(f, h, scale):
+    out, _ = _flash_p6_fwd(f, h, scale)
+    return out
+
+
+def _flash_p6_fwd(f, h, scale):
+    b, t, hd3 = f.shape
+    hd = hd3 // 3
+    d = hd // h
+    bb = _pick_p5_bb(b, h, d, t)
+    block_k = min(DEFAULT_BLOCK_K, t)
+    kernel = functools.partial(
+        _fwd_kernel_p6, scale=scale, block_k=block_k, seq_k=t, h=h)
+    view = lambda j: pl.BlockSpec(  # noqa: E731
+        (bb, t, hd), lambda i, j=j: (i, 0, j), memory_space=pltpu.VMEM)
+    out, lse = pl.pallas_call(
+        kernel,
+        grid=(b // bb,),
+        in_specs=[view(0), view(1), view(2)],
+        out_specs=[
+            pl.BlockSpec((bb, t, hd), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bb * h, t), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, t, hd), f.dtype),
+            jax.ShapeDtypeStruct((b * h, t), jnp.float32),
+        ],
+        interpret=_interpret(),
+        compiler_params=_COMPILER_PARAMS,
+    )(f, f, f)
+    return out, (f, out, lse)
+
+
+def _flash_p6_bwd(h, scale, res, g):
+    f, out, lse = res
+    b, t, hd3 = f.shape
+    hd = hd3 // 3
+    d = hd // h
+    bb = _pick_p5_bb(b, h, d, t)
+    block_k = min(DEFAULT_BLOCK_K, t)
+    kernel = functools.partial(
+        _bwd_kernel_p6, scale=scale, block_k=block_k, seq_k=t, h=h)
+    view = lambda j: pl.BlockSpec(  # noqa: E731
+        (bb, t, hd), lambda i, j=j: (i, 0, j), memory_space=pltpu.VMEM)
+    thd = lambda: pl.BlockSpec(  # noqa: E731
+        (bb, t, hd), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    dqkv = pl.pallas_call(
+        kernel,
+        grid=(b // bb,),
+        in_specs=[view(0), view(1), view(2), thd(),
+                  pl.BlockSpec((bb * h, t), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+                  thd()],
+        out_specs=pl.BlockSpec((bb, t, hd3), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, t, hd3), f.dtype),
+        interpret=_interpret(),
+        compiler_params=_COMPILER_PARAMS,
+    )(f, f, f, out, lse, g)
+    return (dqkv,)
+
+
+_flash_p6.defvjp(
+    lambda f, h, scale: _flash_p6_fwd(f, h, scale), _flash_p6_bwd)
+
+
+def flash_attention_fused(qkv2d, num_heads, scale=None):
+    """Fully t-major fused-projection attention: qkv2d [B, T, 3*H*D]
+    (the raw Dense output) -> [B, T, H*D]. Zero host-side transposes.
+    Caller must check flash_fused_supported first."""
+    b, t, hd3 = qkv2d.shape
+    d = hd3 // 3 // num_heads
+    if scale is None:
+        scale = 1.0 / math.sqrt(d)
+    return _flash_p6(qkv2d, num_heads, float(scale))
+
+
+def flash_fused_supported(b, num_heads, d, t) -> bool:
+    return _packed6_supported(b, num_heads, d, t)
