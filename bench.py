@@ -13,8 +13,10 @@ reference stack (torch DDP + AMP): the DiT paper reports ~0.26 s/iter for
 DiT-B/2 at global batch 256 on A100s (~ >= 950 imgs/s/GPU); we use
 1000 imgs/s/A100 as the baseline denominator until the reference recipe is
 profiled directly (BASELINE.md: baseline must be measured; this slot is the
-documented estimate). Batch 160 is the measured per-image optimum on v5e
-(862.9 imgs/s vs 845 at 128 and 790 at 256, PERF.md round-2 sweep).
+documented estimate). Batch 144 is the measured per-image optimum at the
+round-3 p6 operating point (1017-1019 imgs/s vs 1001-1007 at 160, twice
+reproduced; PERF.md round-3 sweep — the optimum moved down from 160 when
+the t-major flash removed ~12.5 ms of fixed formatting cost per step).
 
 Context for the ratio: an A100 has ~312 bf16 TFLOPs vs ~197 on this v5e
 chip (1.58x), so 843 imgs/s here is ~1.33x the A100 baseline
@@ -47,7 +49,7 @@ def main():
     from vaw_tpu.train import Trainer
     from vaw_tpu.utils.config import TrainConfig
 
-    batch = 160
+    batch = 144
     cfg = TrainConfig(
         model="DiT-B", image_size=32, in_chans=4, patch_size=2,
         num_classes=1000, class_cond=True, batch_size=batch,
