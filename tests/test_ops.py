@@ -330,3 +330,33 @@ def test_p6_tmajor_fused_flash_matches_math():
     gu = jax.grad(lambda f: jnp.sum(ref(f) * g))(f)
     np.testing.assert_allclose(np.asarray(gp), np.asarray(gu),
                                atol=5e-4, rtol=5e-4)
+
+    # bf16 I/O (the training dtype): f32 kernel math, bf16-bounded error
+    fb = f.astype(jnp.bfloat16)
+    ob = flash_attention_fused(fb, h)
+    assert ob.dtype == jnp.bfloat16
+    np.testing.assert_allclose(
+        np.asarray(ob, np.float32),
+        np.asarray(ref(fb.astype(jnp.float32))), atol=2e-2, rtol=2e-2)
+
+
+def test_p6_fallback_routes_unsupported_shapes():
+    """multi_head_attention_fused must fall back to the packed path (same
+    math) for shapes the t-major kernel doesn't gate in (odd t, hd not a
+    lane multiple)."""
+    from vaw_tpu.ops.attention import multi_head_attention_fused
+    from vaw_tpu.ops.flash_attention import flash_fused_supported
+
+    for (b, t, h, d) in [(2, 257, 8, 16), (2, 128, 6, 16)]:
+        assert not flash_fused_supported(b, h, d, t)
+        f = jnp.asarray(
+            np.random.RandomState(0).randn(b, t, 3 * h * d) * 0.3,
+            jnp.float32)
+        out = multi_head_attention_fused(f, h)
+        qkv = f.reshape(b, t, 3, h, d)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+        s = jnp.einsum("bthd,bshd->bhts", q, k) / np.sqrt(d)
+        r = jnp.einsum("bhts,bshd->bthd", jax.nn.softmax(s, -1), v)
+        np.testing.assert_allclose(np.asarray(out),
+                                   np.asarray(r.reshape(b, t, h * d)),
+                                   atol=2e-5, rtol=2e-5)
