@@ -143,3 +143,30 @@ def test_converter_structure_matches_flax_init(tiny_vae):
     recon, moments = out
     assert recon.shape == (1, 16, 16, 3)
     assert np.isfinite(np.asarray(recon)).all()
+
+
+def test_bf16_decode_close_to_f32():
+    """The sampling path runs the decoder in bf16 (decode share profiled at
+    48-61% of the CFG pipeline, PERF.md). GroupNorm keeps f32 params and
+    f32 mean/var reductions but normalizes/stores in the module dtype —
+    same decision as models/layers.py:GroupNorm32. Decoded images must stay
+    within a small fraction of the [-1,1] range of the f32 decode, and the
+    SAME f32 param tree must be loadable by both dtypes."""
+    f32 = AutoencoderKL(base_channels=BASE, channel_mults=MULTS,
+                        num_res_blocks=NRES, latent_channels=LAT)
+    b16 = AutoencoderKL(base_channels=BASE, channel_mults=MULTS,
+                        num_res_blocks=NRES, latent_channels=LAT,
+                        dtype=jnp.bfloat16)
+    rng = jax.random.key(0)
+    x = jnp.asarray(np.random.RandomState(0).randn(2, 16, 16, 3),
+                    jnp.float32)
+    variables = f32.init(rng, x, rng)
+    z = jnp.asarray(np.random.RandomState(1).randn(2, 8, 8, LAT),
+                    jnp.float32)
+    out32 = f32.apply(variables, z, method=f32.decode)
+    out16 = b16.apply(variables, z, method=b16.decode)
+    assert out32.dtype == out16.dtype == jnp.float32  # conv_out is f32
+    diff = float(jnp.abs(out32 - out16).max())
+    # tanh-free decoder output is roughly unit-scale at init; 0.1 absolute
+    # is ~1-2% of the dynamic range after the caller's [-1,1]->uint8 map.
+    assert diff < 0.1, diff

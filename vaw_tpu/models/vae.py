@@ -22,8 +22,16 @@ import jax.numpy as jnp
 __all__ = ["AutoencoderKL", "Encoder", "Decoder"]
 
 
-def _gn(x):
-    return nn.GroupNorm(num_groups=32, epsilon=1e-6, dtype=jnp.float32)(x)
+def _gn(x, dtype=jnp.float32):
+    """GroupNorm with f32 parameters and f32 mean/var reductions (the flax
+    default), but normalization arithmetic + storage in the module dtype.
+    Under a bf16 decoder the old f32-forced output made every GN+silu a
+    full-tensor f32 HBM round-trip — at 256px decode resolution that is
+    ~2-3 GB/img of pure elementwise traffic, which profiled as the
+    dominant cost of VAE decode (PERF.md round-3 decoder anatomy). Same
+    decision as models/layers.py:GroupNorm32 for the UNet."""
+    return nn.GroupNorm(num_groups=32, epsilon=1e-6, dtype=dtype,
+                        param_dtype=jnp.float32)(x)
 
 
 class ResnetBlock(nn.Module):
@@ -32,10 +40,10 @@ class ResnetBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        h = nn.silu(_gn(x))
+        h = nn.silu(_gn(x, self.dtype))
         h = nn.Conv(self.out_channels, (3, 3), padding="SAME",
                     dtype=self.dtype, name="conv1")(h)
-        h = nn.silu(_gn(h))
+        h = nn.silu(_gn(h, self.dtype))
         h = nn.Conv(self.out_channels, (3, 3), padding="SAME",
                     dtype=self.dtype, name="conv2")(h)
         if x.shape[-1] != self.out_channels:
@@ -50,7 +58,7 @@ class AttnBlock(nn.Module):
     @nn.compact
     def __call__(self, x):
         n, h, w, c = x.shape
-        y = _gn(x)
+        y = _gn(x, self.dtype)
         q = nn.Dense(c, dtype=self.dtype, name="to_q")(y)
         k = nn.Dense(c, dtype=self.dtype, name="to_k")(y)
         v = nn.Dense(c, dtype=self.dtype, name="to_v")(y)
@@ -108,7 +116,7 @@ class Encoder(nn.Module):
         h = ResnetBlock(h.shape[-1], dtype=self.dtype, name="mid_block_1")(h)
         h = AttnBlock(dtype=self.dtype, name="mid_attn")(h)
         h = ResnetBlock(h.shape[-1], dtype=self.dtype, name="mid_block_2")(h)
-        h = nn.silu(_gn(h))
+        h = nn.silu(_gn(h, self.dtype))
         moments = nn.Conv(2 * self.latent_channels, (3, 3), padding="SAME",
                           dtype=self.dtype, name="conv_out")(h)
         moments = nn.Conv(2 * self.latent_channels, (1, 1),
@@ -141,7 +149,7 @@ class Decoder(nn.Module):
                                 name=f"up_{i}_block_{j}")(h)
             if i != len(self.channel_mults) - 1:
                 h = Upsample(dtype=self.dtype, name=f"up_{i}_upsample")(h)
-        h = nn.silu(_gn(h))
+        h = nn.silu(_gn(h, self.dtype))
         return nn.Conv(self.out_channels, (3, 3), padding="SAME",
                        dtype=jnp.float32, name="conv_out")(h)
 
