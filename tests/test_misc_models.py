@@ -129,3 +129,62 @@ def test_vit_shared_rel_pos_bias():
     out = m.apply(v, x, t, y)
     assert out.shape == (2, 8, 8, 3)
     assert np.isfinite(np.asarray(out)).all()
+
+
+@pytest.mark.parametrize("model_kind", ["dit", "unet"])
+def test_remat_policy_dots_matches_full(model_kind):
+    """--remat_policy dots (save MXU outputs, recompute elementwise) must
+    produce the same gradients as the full-recompute policy — it only
+    changes WHAT the backward rematerializes, not the math."""
+    if model_kind == "dit":
+        from vaw_tpu.models.dit import DiT
+
+        def build(policy):
+            return DiT(image_size=8, patch_size=2, in_channels=3,
+                       hidden_size=32, depth=2, num_heads=2, num_classes=0,
+                       class_dropout_prob=0.0, use_checkpoint=True,
+                       remat_policy=policy)
+
+        x = jnp.ones((2, 8, 8, 3)) * 0.3
+    else:
+        from vaw_tpu.models.unet import create_unet_model
+
+        def build(policy):
+            return create_unet_model(
+                image_size=32, num_channels=32, num_res_blocks=1,
+                in_channels=3, class_cond=False, use_checkpoint=True,
+                remat_policy=policy)
+
+        x = jnp.ones((2, 32, 32, 3)) * 0.3
+    t = jnp.full((2,), 3.0)
+
+    grads = {}
+    for policy in ("full", "dots"):
+        m = build(policy)
+        v = m.init({"params": jax.random.key(0)}, x, t)
+
+        def loss(p):
+            out = m.apply({"params": p}, x, t)
+            if isinstance(out, tuple):
+                out = out[0]
+            return jnp.sum((out - 0.5) ** 2)
+
+        grads[policy] = jax.grad(loss)(v["params"])
+    for (ka, a), (kb, b) in zip(
+            jax.tree_util.tree_leaves_with_path(grads["full"]),
+            jax.tree_util.tree_leaves_with_path(grads["dots"])):
+        assert ka == kb
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6,
+                                   err_msg=jax.tree_util.keystr(ka))
+
+
+def test_remat_policy_unknown_raises():
+    from vaw_tpu.models.dit import DiT
+
+    m = DiT(image_size=8, patch_size=2, in_channels=3, hidden_size=32,
+            depth=1, num_heads=2, num_classes=0, class_dropout_prob=0.0,
+            use_checkpoint=True, remat_policy="bogus")
+    with pytest.raises(ValueError, match="remat_policy"):
+        m.init({"params": jax.random.key(0)}, jnp.ones((1, 8, 8, 3)),
+               jnp.ones((1,)))

@@ -26,6 +26,7 @@ from .layers import (
     TimestepEmbedder,
     get_2d_sincos_pos_embed,
     modulate,
+    remat_with_policy,
     xavier_uniform_init,
     zeros_init,
 )
@@ -109,6 +110,12 @@ class DiT(nn.Module):
     # reference's CheckpointFunction, tools/nn.py:124-170) — trades ~33%
     # extra FLOPs for O(depth) -> O(1) activation memory.
     use_checkpoint: bool = False
+    # Selective remat: 'full' recomputes everything (the reference's
+    # CheckpointFunction semantics); 'dots' saves matmul outputs and
+    # recomputes only elementwise ops (jax.checkpoint_policies.
+    # dots_with_no_batch_dims_saveable) — skips re-running the MXU work
+    # in the backward at a modest activation-memory cost.
+    remat_policy: str = "full"
     # Compile ONE block and lax.scan it over stacked [depth, ...] params:
     # O(depth) -> O(1) compile time (matters through slow remote-compile
     # paths) and the param layout pipeline parallelism consumes
@@ -151,7 +158,8 @@ class DiT(nn.Module):
             )(y, train=train, force_drop_ids=force_drop_ids).astype(self.dtype)
 
         block_cls = (
-            nn.remat(DiTBlock) if self.use_checkpoint else DiTBlock
+            remat_with_policy(DiTBlock, self.remat_policy)
+            if self.use_checkpoint else DiTBlock
         )
         zs = None
         if self.scan_blocks:

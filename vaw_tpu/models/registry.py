@@ -36,6 +36,7 @@ def build_model(cfg):
             drop_label_prob=cfg.drop_label_prob, dropout=cfg.dropout,
             learn_sigma=cfg.learn_sigma, class_cond=cfg.class_cond,
             use_checkpoint=getattr(cfg, "use_checkpoint", False),
+            remat_policy=getattr(cfg, "remat_policy", "full"),
             dtype=cfg.compute_dtype,
         )
     if name in UViT_models:
@@ -59,6 +60,7 @@ def build_model(cfg):
             encoder_depth=cfg.encoder_depth,
             class_dropout_prob=cfg.drop_label_prob, z_dims=cfg.z_dims,
             use_checkpoint=getattr(cfg, "use_checkpoint", False),
+            remat_policy=getattr(cfg, "remat_policy", "full"),
             scan_blocks=getattr(cfg, "scan_blocks", False),
             dtype=cfg.compute_dtype,
         )

@@ -17,7 +17,8 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.attention import multi_head_attention
-from .layers import GroupNorm32, timestep_embedding, zeros_init
+from .layers import (GroupNorm32, remat_with_policy,
+                     timestep_embedding, zeros_init)
 
 __all__ = [
     "UNetModel",
@@ -227,6 +228,9 @@ class UNetModel(nn.Module):
     conv_resample: bool = True
     num_classes: int = 0
     use_checkpoint: bool = False
+    # 'full' recomputes everything in the backward; 'dots' saves MXU
+    # (matmul/conv) outputs and recomputes only elementwise ops.
+    remat_policy: str = "full"
     num_heads: int = 1
     num_head_channels: int = -1
     num_heads_upsample: int = -1
@@ -274,8 +278,9 @@ class UNetModel(nn.Module):
         res_block = ResBlock
         attn_block = AttentionBlock
         if self.use_checkpoint:
-            res_block = nn.remat(ResBlock, static_argnums=(2,))
-            attn_block = nn.remat(AttentionBlock)
+            res_block = remat_with_policy(ResBlock, self.remat_policy,
+                                          static_argnums=(2,))
+            attn_block = remat_with_policy(AttentionBlock, self.remat_policy)
 
         ch = int(self.channel_mult[0] * self.model_channels)
         h = _conv(ch, dtype=self.dtype)(x.astype(self.dtype))
@@ -524,6 +529,7 @@ def create_unet_model(
     learn_sigma=False,
     class_cond=True,
     use_checkpoint=False,
+    remat_policy="full",
     attention_resolutions="16",
     num_heads=1,
     num_head_channels=-1,
@@ -561,6 +567,7 @@ def create_unet_model(
         channel_mult=channel_mult,
         num_classes=(num_classes if class_cond else 0),
         use_checkpoint=use_checkpoint,
+        remat_policy=remat_policy,
         num_heads=num_heads,
         num_head_channels=num_head_channels,
         num_heads_upsample=num_heads_upsample,

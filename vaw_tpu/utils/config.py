@@ -134,6 +134,9 @@ class TrainConfig:
     # gradient rematerialization (reference: models/unet.py use_checkpoint,
     # tools/nn.py:124-170) and scan-compiled DiT blocks (TPU extension)
     use_checkpoint: bool = False
+    # 'full' = recompute everything (reference CheckpointFunction);
+    # 'dots' = save matmul/conv outputs, recompute elementwise only
+    remat_policy: str = "full"
     scan_blocks: bool = False
 
     # logging & sampling
@@ -271,6 +274,8 @@ def _add_common_args(p: argparse.ArgumentParser, defaults: dict):
                    type=str2bool)
     p.add_argument("--use_checkpoint", default=d.use_checkpoint,
                    type=str2bool)
+    p.add_argument("--remat_policy", default=d.remat_policy,
+                   choices=["full", "dots"])
     p.add_argument("--scan_blocks", default=d.scan_blocks, type=str2bool)
     p.add_argument("--logdir", type=str, default=d.logdir)
     p.add_argument("--sample_size", type=int, default=d.sample_size)
