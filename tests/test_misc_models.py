@@ -188,3 +188,32 @@ def test_remat_policy_unknown_raises():
     with pytest.raises(ValueError, match="remat_policy"):
         m.init({"params": jax.random.key(0)}, jnp.ones((1, 8, 8, 3)),
                jnp.ones((1,)))
+
+
+def test_mmdit_remat_policy_matches_plain():
+    """MM-DiT use_checkpoint (+'dots' policy) must not change the math."""
+    from vaw_tpu.models.mmdit import MMDiT
+
+    kw = dict(image_size=8, patch_size=2, in_channels=4, hidden_size=32,
+              depth=2, num_heads=2, num_classes=10, class_dropout_prob=0.0)
+    x = jnp.ones((2, 8, 8, 4)) * 0.3
+    t = jnp.full((2,), 3.0)
+    y = jnp.zeros((2,), jnp.int32)
+    outs = {}
+    for tag, extra in (("plain", {}),
+                       ("dots", dict(use_checkpoint=True,
+                                     remat_policy="dots"))):
+        m = MMDiT(**kw, **extra)
+        v = m.init({"params": jax.random.key(0)}, x, t, y)
+
+        def loss(p):
+            out, _ = m.apply({"params": p}, x, t, y)
+            return jnp.sum((out - 0.5) ** 2)
+
+        outs[tag] = (float(loss(v["params"])),
+                     jax.grad(loss)(v["params"]))
+    assert outs["plain"][0] == pytest.approx(outs["dots"][0], rel=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(outs["plain"][1]),
+                    jax.tree_util.tree_leaves(outs["dots"][1])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)

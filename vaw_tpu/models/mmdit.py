@@ -29,6 +29,7 @@ import jax.numpy as jnp
 from ..ops.attention import multi_head_attention
 from .layers import (
     PatchEmbed,
+    remat_with_policy,
     TimestepEmbedder,
     get_2d_sincos_pos_embed,
     xavier_uniform_init,
@@ -257,6 +258,10 @@ class MMDiT(nn.Module):
     num_heads: int = 12
     mlp_ratio: float = 4.0
     num_classes: int = 1000
+    # remat the JointBlocks in the backward (O(depth) -> O(1) activation
+    # memory); 'dots' saves MXU outputs and recomputes elementwise only.
+    use_checkpoint: bool = False
+    remat_policy: str = "full"
     adm_in_channels: Optional[int] = None
     context_dim: int = 768
     context_tokens: int = 1  # synthesized context length (class-cond path)
@@ -359,9 +364,11 @@ class MMDiT(nn.Module):
                 [reg.astype(context.dtype), context], axis=1)
 
         zs = None
+        block_cls = (remat_with_policy(JointBlock, self.remat_policy)
+                     if self.use_checkpoint else JointBlock)
         for i in range(self.depth):
             last = i == self.depth - 1
-            context, x = JointBlock(
+            context, x = block_cls(
                 self.hidden_size, self.num_heads, mlp_ratio=self.mlp_ratio,
                 qkv_bias=self.qkv_bias, qk_norm=self.qk_norm,
                 use_rmsnorm=self.use_rmsnorm, use_swiglu=self.use_swiglu,

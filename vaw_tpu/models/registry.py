@@ -73,6 +73,8 @@ def build_model(cfg):
             learn_sigma=cfg.learn_sigma, learn_align=cfg.learn_align,
             encoder_depth=cfg.encoder_depth, z_dims=(cfg.z_dims,),
             class_dropout_prob=cfg.drop_label_prob,
+            use_checkpoint=getattr(cfg, "use_checkpoint", False),
+            remat_policy=getattr(cfg, "remat_policy", "full"),
             # the reference hardcodes a 16-grid table (latent-32 recipes);
             # widen for larger token grids
             pos_embed_max_size=max(16, cfg.image_size // cfg.patch_size),

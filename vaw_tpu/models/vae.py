@@ -27,9 +27,9 @@ def _gn(x, dtype=jnp.float32):
     default), but normalization arithmetic + storage in the module dtype.
     Under a bf16 decoder the old f32-forced output made every GN+silu a
     full-tensor f32 HBM round-trip — at 256px decode resolution that is
-    ~2-3 GB/img of pure elementwise traffic, which profiled as the
-    dominant cost of VAE decode (PERF.md round-3 decoder anatomy). Same
-    decision as models/layers.py:GroupNorm32 for the UNet."""
+    ~2-3 GB/img of pure elementwise traffic on a decode that PERF.md
+    measures at 48-61% of the whole sampling pipeline. Same decision as
+    models/layers.py:GroupNorm32 for the UNet."""
     return nn.GroupNorm(num_groups=32, epsilon=1e-6, dtype=dtype,
                         param_dtype=jnp.float32)(x)
 
