@@ -131,7 +131,7 @@ def test_vit_shared_rel_pos_bias():
     assert np.isfinite(np.asarray(out)).all()
 
 
-@pytest.mark.parametrize("model_kind", ["dit", "unet"])
+@pytest.mark.parametrize("model_kind", ["dit", "unet", "vit", "uvit"])
 def test_remat_policy_dots_matches_full(model_kind):
     """--remat_policy dots (save MXU outputs, recompute elementwise) must
     produce the same gradients as the full-recompute policy — it only
@@ -156,6 +156,25 @@ def test_remat_policy_dots_matches_full(model_kind):
                 remat_policy=policy)
 
         x = jnp.ones((2, 32, 32, 3)) * 0.3
+    if model_kind == "vit":
+        from vaw_tpu.models.vit import ViT
+
+        def build(policy):
+            return ViT(image_size=8, patch_size=2, in_channels=3,
+                       embed_dim=32, depth=2, num_heads=2, num_classes=0,
+                       use_checkpoint=True, remat_policy=policy)
+
+        x = jnp.ones((2, 8, 8, 3)) * 0.3
+    if model_kind == "uvit":
+        from vaw_tpu.models.uvit import UViT
+
+        def build(policy):
+            return UViT(image_size=8, patch_size=2, in_channels=3,
+                        embed_dim=32, depth=2, num_heads=2, num_classes=0,
+                        class_dropout_prob=0.0, use_checkpoint=True,
+                        remat_policy=policy)
+
+        x = jnp.ones((2, 8, 8, 3)) * 0.3
     t = jnp.full((2,), 3.0)
 
     grads = {}

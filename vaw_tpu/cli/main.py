@@ -248,7 +248,12 @@ def init(cfg):
         try:
             from ..data.vae import load_vae_decoder
 
-            vae_decode_fn = load_vae_decoder(cfg.vae)
+            # bf16 decode under amp: the decoder is 48-61% of the CFG
+            # sampling pipeline (PERF.md) and its output is quantized to
+            # uint8; bf16-vs-f32 decode differences are below the
+            # quantization step (tests/test_vae.py bf16 closeness).
+            vae_decode_fn = load_vae_decoder(
+                cfg.vae, dtype=cfg.compute_dtype)
         except Exception as e:  # noqa: BLE001 — classified just below
             if cfg.eval:
                 # FID over undecoded latents is garbage; fail before

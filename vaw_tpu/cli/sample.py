@@ -62,7 +62,8 @@ def main(argv=None):
         try:
             from ..data.vae import load_vae_decoder
 
-            vae_decode_fn = load_vae_decoder(cfg.vae)
+            vae_decode_fn = load_vae_decoder(
+                cfg.vae, dtype=cfg.compute_dtype)
         except Exception as e:  # noqa: BLE001
             print(f"[vae] decoder unavailable ({e})")
 

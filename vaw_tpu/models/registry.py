@@ -43,14 +43,20 @@ def build_model(cfg):
         return UViT_models[name](
             image_size=cfg.image_size, patch_size=cfg.patch_size,
             in_channels=cfg.in_chans, num_classes=cfg.num_classes,
-            class_dropout_prob=cfg.drop_label_prob, dtype=cfg.compute_dtype,
+            class_dropout_prob=cfg.drop_label_prob,
+            use_checkpoint=getattr(cfg, "use_checkpoint", False),
+            remat_policy=getattr(cfg, "remat_policy", "full"),
+            dtype=cfg.compute_dtype,
         )
     if name in ViT_models:
         return ViT_models[name](
             image_size=cfg.image_size, patch_size=cfg.patch_size,
             in_channels=cfg.in_chans, num_classes=cfg.num_classes,
             learn_sigma=cfg.learn_sigma, drop_rate=cfg.dropout,
-            drop_label_prob=cfg.drop_label_prob, dtype=cfg.compute_dtype,
+            drop_label_prob=cfg.drop_label_prob,
+            use_checkpoint=getattr(cfg, "use_checkpoint", False),
+            remat_policy=getattr(cfg, "remat_policy", "full"),
+            dtype=cfg.compute_dtype,
         )
     if name in DiT_models:
         return DiT_models[name](

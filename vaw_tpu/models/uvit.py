@@ -17,7 +17,8 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.attention import multi_head_attention
-from .layers import Mlp, PatchEmbed, timestep_embedding, trunc_normal_init
+from .layers import (Mlp, PatchEmbed, remat_with_policy,
+                     timestep_embedding, trunc_normal_init)
 
 __all__ = ["UViT", "UViT_S", "UViT_S_D", "UViT_M", "UViT_L", "UViT_H",
            "UViT_models"]
@@ -81,6 +82,9 @@ class UViT(nn.Module):
     num_classes: int = -1
     conv: bool = True
     skip: bool = True
+    # remat blocks in the backward; 'dots' saves MXU outputs only
+    use_checkpoint: bool = False
+    remat_policy: str = "full"
     class_dropout_prob: float = 0.0
     dtype: jnp.dtype = jnp.float32
 
@@ -125,17 +129,19 @@ class UViT(nn.Module):
         )
         x = x + pos_embed.astype(self.dtype)
 
+        block_cls = (remat_with_policy(UViTBlock, self.remat_policy)
+                     if self.use_checkpoint else UViTBlock)
         skips = []
         for _ in range(self.depth // 2):
-            x = UViTBlock(num_heads=self.num_heads, mlp_ratio=self.mlp_ratio,
+            x = block_cls(num_heads=self.num_heads, mlp_ratio=self.mlp_ratio,
                           qkv_bias=self.qkv_bias, dtype=self.dtype)(x)
             skips.append(x)
 
-        x = UViTBlock(num_heads=self.num_heads, mlp_ratio=self.mlp_ratio,
+        x = block_cls(num_heads=self.num_heads, mlp_ratio=self.mlp_ratio,
                       qkv_bias=self.qkv_bias, dtype=self.dtype)(x)
 
         for _ in range(self.depth // 2):
-            x = UViTBlock(num_heads=self.num_heads, mlp_ratio=self.mlp_ratio,
+            x = block_cls(num_heads=self.num_heads, mlp_ratio=self.mlp_ratio,
                           qkv_bias=self.qkv_bias, skip=self.skip,
                           dtype=self.dtype)(x, skips.pop())
 

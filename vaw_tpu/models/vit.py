@@ -24,6 +24,7 @@ from .layers import (
     DropPath,
     Mlp,
     PatchEmbed,
+    remat_with_policy,
     timestep_embedding,
     trunc_normal_init,
     zeros_init,
@@ -184,6 +185,9 @@ class ViT(nn.Module):
     use_abs_pos_emb: bool = True
     use_shared_rel_pos_bias: bool = False
     use_mean_pooling: bool = True
+    # remat blocks in the backward; 'dots' saves MXU outputs only
+    use_checkpoint: bool = False
+    remat_policy: str = "full"
     init_scale: float = 0.001
     use_conv_last: bool = False
     num_steps: int = 4000
@@ -248,8 +252,12 @@ class ViT(nn.Module):
             )()
 
         dpr = np.linspace(0, self.drop_path_rate, self.depth)
+        block_cls = (
+            remat_with_policy(ViTBlock, self.remat_policy,
+                              static_argnums=(2,))
+            if self.use_checkpoint else ViTBlock)
         for i in range(self.depth):
-            x = ViTBlock(
+            x = block_cls(
                 num_heads=self.num_heads, mlp_ratio=self.mlp_ratio,
                 qkv_bias=self.qkv_bias, drop_rate=self.drop_rate,
                 drop_path=float(dpr[i]), init_values=self.init_values,
