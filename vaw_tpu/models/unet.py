@@ -431,6 +431,8 @@ class EncoderUNetModel(nn.Module):
     use_scale_shift_norm: bool = True
     resblock_updown: bool = True
     pool: str = "adaptive"
+    use_checkpoint: bool = False
+    remat_policy: str = "full"
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -441,6 +443,13 @@ class EncoderUNetModel(nn.Module):
         emb = nn.Dense(time_embed_dim, dtype=self.dtype)(emb)
         emb = nn.Dense(time_embed_dim, dtype=self.dtype)(nn.silu(emb))
 
+        res_block, attn_block = ResBlock, AttentionBlock
+        if self.use_checkpoint:
+            res_block = remat_with_policy(ResBlock, self.remat_policy,
+                                          static_argnums=(2,))
+            attn_block = remat_with_policy(AttentionBlock,
+                                           self.remat_policy)
+
         ch = int(self.channel_mult[0] * self.model_channels)
         h = _conv(ch, dtype=self.dtype)(x.astype(self.dtype))
         results = []
@@ -450,13 +459,13 @@ class EncoderUNetModel(nn.Module):
         for level, mult in enumerate(self.channel_mult):
             for _ in range(self.num_res_blocks):
                 ch = int(mult * self.model_channels)
-                h = ResBlock(
+                h = res_block(
                     out_channels=ch, dropout=self.dropout,
                     use_scale_shift_norm=self.use_scale_shift_norm,
                     dtype=self.dtype,
                 )(h, emb, deterministic)
                 if ds in self.attention_resolutions:
-                    h = AttentionBlock(
+                    h = attn_block(
                         num_heads=self.num_heads,
                         num_head_channels=self.num_head_channels,
                         dtype=self.dtype,
@@ -465,7 +474,7 @@ class EncoderUNetModel(nn.Module):
                     results.append(h.mean(axis=(1, 2)))
             if level != len(self.channel_mult) - 1:
                 if self.resblock_updown:
-                    h = ResBlock(
+                    h = res_block(
                         out_channels=ch, dropout=self.dropout,
                         use_scale_shift_norm=self.use_scale_shift_norm,
                         down=True, dtype=self.dtype,
@@ -477,13 +486,13 @@ class EncoderUNetModel(nn.Module):
                     results.append(h.mean(axis=(1, 2)))
                 ds *= 2
 
-        h = ResBlock(dropout=self.dropout,
+        h = res_block(dropout=self.dropout,
                      use_scale_shift_norm=self.use_scale_shift_norm,
                      dtype=self.dtype)(h, emb, deterministic)
-        h = AttentionBlock(num_heads=self.num_heads,
+        h = attn_block(num_heads=self.num_heads,
                            num_head_channels=self.num_head_channels,
                            dtype=self.dtype)(h)
-        h = ResBlock(dropout=self.dropout,
+        h = res_block(dropout=self.dropout,
                      use_scale_shift_norm=self.use_scale_shift_norm,
                      dtype=self.dtype)(h, emb, deterministic)
 
