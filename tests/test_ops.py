@@ -360,3 +360,28 @@ def test_p6_fallback_routes_unsupported_shapes():
         np.testing.assert_allclose(np.asarray(out),
                                    np.asarray(r.reshape(b, t, h * d)),
                                    atol=2e-5, rtol=2e-5)
+
+
+def test_pallas_conv_param_tree_matches_xla(monkeypatch):
+    """VAW_PALLAS_CONV must be a pure routing flag: the param tree (names
+    AND shapes) of a UNet must be identical whether the 3x3 convs route to
+    the Pallas kernel or to nn.Conv — otherwise checkpoints written in one
+    mode fail to load in the other. Flax auto-names submodules by class
+    __name__, so PallasConv3x3 aliases its class name to "Conv"
+    (models/unet.py)."""
+    from vaw_tpu.models.unet import create_unet_model
+
+    def tree(flag):
+        monkeypatch.setenv("VAW_PALLAS_CONV", flag)
+        m = create_unet_model(image_size=32, num_channels=32,
+                              num_res_blocks=1, in_channels=3,
+                              class_cond=False)
+        shapes = jax.eval_shape(
+            m.init, jax.random.key(0), jnp.ones((1, 32, 32, 3)),
+            jnp.ones((1,)))
+        return {
+            jax.tree_util.keystr(k): v.shape
+            for k, v in jax.tree_util.tree_leaves_with_path(shapes)
+        }
+
+    assert tree("0") == tree("1")

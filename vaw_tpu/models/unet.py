@@ -82,6 +82,15 @@ class PallasConv3x3(nn.Module):
         return y + bias.astype(y.dtype)
 
 
+# Flax auto-names submodules by class __name__: without this, routing a
+# conv to PallasConv3x3 would move its params from "Conv_N" to
+# "PallasConv3x3_N" (and shift the sibling Conv indices), silently breaking
+# checkpoint interop between VAW_PALLAS_CONV modes. Aligning the class name
+# keeps the param tree IDENTICAL in both modes (kernel/bias shapes already
+# match), which test_pallas_conv_param_tree_matches_xla locks in.
+PallasConv3x3.__name__ = "Conv"
+
+
 def _upsample_nearest(x):
     n, h, w, c = x.shape
     x = jnp.broadcast_to(x[:, :, None, :, None, :], (n, h, 2, w, 2, c))
