@@ -385,3 +385,53 @@ def test_pallas_conv_param_tree_matches_xla(monkeypatch):
         }
 
     assert tree("0") == tree("1")
+
+
+def test_fused_upsample_conv_matches_unfused():
+    """The phase-conv rewrite of nearest-2x + SAME 3x3 conv must be exact
+    up to fp reassociation of the kernel-tap sums — values AND gradients
+    (it replaces the conv in every decoder up path; reference:
+    models/unet.py:81-110, :143-256)."""
+    from vaw_tpu.ops.upsample_conv import (
+        nearest2x_conv3x3, nearest2x_conv3x3_reference)
+
+    rs = np.random.RandomState(0)
+    for (h, w, cin, cout) in [(5, 7, 3, 4), (8, 8, 16, 8), (1, 1, 2, 2)]:
+        x = jnp.asarray(rs.randn(2, h, w, cin), jnp.float32)
+        k = jnp.asarray(rs.randn(3, 3, cin, cout) * 0.1, jnp.float32)
+        a = nearest2x_conv3x3(x, k)
+        b = nearest2x_conv3x3_reference(x, k)
+        assert a.shape == (2, 2 * h, 2 * w, cout)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-5)
+
+    x = jnp.asarray(rs.randn(2, 6, 6, 3), jnp.float32)
+    k = jnp.asarray(rs.randn(3, 3, 3, 5) * 0.1, jnp.float32)
+    for arg in (0, 1):
+        ga = jax.grad(lambda *a: jnp.sum(nearest2x_conv3x3(*a) ** 2),
+                      argnums=arg)(x, k)
+        gb = jax.grad(
+            lambda *a: jnp.sum(nearest2x_conv3x3_reference(*a) ** 2),
+            argnums=arg)(x, k)
+        np.testing.assert_allclose(np.asarray(ga), np.asarray(gb),
+                                   rtol=1e-4, atol=1e-4)
+
+
+def test_fused_upsample_conv_module_param_tree(monkeypatch):
+    """FusedUpsampleConv must keep the swapped-out nn.Conv's param tree
+    (auto-index name, kernel/bias names, shapes) and agree numerically
+    with the VAW_FUSED_UPSAMPLE=0 fallback."""
+    from vaw_tpu.models.unet import ResBlock
+
+    x = jnp.asarray(np.random.RandomState(0).randn(2, 8, 8, 8), jnp.float32)
+    emb = jnp.ones((2, 16))
+    m = ResBlock(out_channels=8, up=True)
+    v = m.init(jax.random.key(0), x, emb)
+    assert sorted(v["params"].keys()) == [
+        "Conv_0", "Conv_1", "Dense_0", "GroupNorm32_0", "GroupNorm32_1"]
+    assert v["params"]["Conv_0"]["kernel"].shape == (3, 3, 8, 8)
+    fused = m.apply(v, x, emb)
+    monkeypatch.setenv("VAW_FUSED_UPSAMPLE", "0")
+    unfused = m.apply(v, x, emb)
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(unfused),
+                               rtol=1e-5, atol=1e-5)

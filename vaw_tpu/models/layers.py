@@ -296,3 +296,42 @@ def remat_with_policy(module_cls, policy_name: str, **remat_kwargs):
     if policy is not None:
         remat_kwargs["policy"] = policy
     return nn.remat(module_cls, **remat_kwargs)
+
+
+class FusedUpsampleConv(nn.Module):
+    """nearest-2x upsample + SAME 3x3 conv as one fused phase-conv
+    (ops/upsample_conv.py — exact rewrite, 2.25x fewer MACs, no 4x-size
+    upsampled intermediate in HBM). Param names/shapes/init identical to
+    the nn.Conv it replaces (kernel [3,3,Cin,Cout] lecun-normal, bias
+    zeros), so checkpoints interoperate; VAW_FUSED_UPSAMPLE=0 falls back
+    to the unfused upsample-then-conv lowering."""
+
+    features: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        from ..ops.upsample_conv import (
+            fused_upsample_conv_enabled,
+            nearest2x_conv3x3,
+            nearest2x_conv3x3_reference,
+        )
+
+        cin = x.shape[-1]
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (3, 3, cin, self.features))
+        bias = self.param("bias", nn.initializers.zeros_init(),
+                          (self.features,))
+        x = x.astype(self.dtype)
+        k = kernel.astype(self.dtype)
+        if fused_upsample_conv_enabled():
+            y = nearest2x_conv3x3(x, k)
+        else:
+            y = nearest2x_conv3x3_reference(x, k)
+        return y + bias.astype(y.dtype)
+
+
+# flax auto-names submodules by class __name__: alias to "Conv" so swapping
+# an upsample+nn.Conv pair for this module leaves auto-indexed param trees
+# (ResBlock's Conv_0/Conv_1/Conv_2) unchanged.
+FusedUpsampleConv.__name__ = "Conv"

@@ -17,8 +17,8 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.attention import multi_head_attention
-from .layers import (GroupNorm32, remat_with_policy,
-                     timestep_embedding, zeros_init)
+from .layers import (FusedUpsampleConv, GroupNorm32,
+                     remat_with_policy, timestep_embedding, zeros_init)
 
 __all__ = [
     "UNetModel",
@@ -111,10 +111,10 @@ class Upsample(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        x = _upsample_nearest(x)
         if self.use_conv:
-            x = _conv(self.out_channels or x.shape[-1], dtype=self.dtype)(x)
-        return x
+            return FusedUpsampleConv(self.out_channels or x.shape[-1],
+                                     dtype=self.dtype)(x)
+        return _upsample_nearest(x)
 
 
 class Downsample(nn.Module):
@@ -151,12 +151,14 @@ class ResBlock(nn.Module):
         h = GroupNorm32()(x)
         h = nn.silu(h)
         if self.up:
-            h = _upsample_nearest(h)
+            # fused nearest-2x + conv (exact rewrite, ops/upsample_conv.py)
             x = _upsample_nearest(x)
-        elif self.down:
-            h = _avg_pool2(h)
-            x = _avg_pool2(x)
-        h = _conv(out_ch, dtype=self.dtype)(h)
+            h = FusedUpsampleConv(out_ch, dtype=self.dtype)(h)
+        else:
+            if self.down:
+                h = _avg_pool2(h)
+                x = _avg_pool2(x)
+            h = _conv(out_ch, dtype=self.dtype)(h)
 
         emb_out = nn.Dense(
             2 * out_ch if self.use_scale_shift_norm else out_ch,

@@ -89,10 +89,12 @@ class Upsample(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        n, h, w, c = x.shape
-        x = jax.image.resize(x, (n, 2 * h, 2 * w, c), method="nearest")
-        return nn.Conv(c, (3, 3), padding="SAME", dtype=self.dtype,
-                       name="conv")(x)
+        # fused nearest-2x + 3x3 phase conv (ops/upsample_conv.py): the
+        # upsample convs are ~56% of the decoder's 619 GF/img
+        from .layers import FusedUpsampleConv
+
+        return FusedUpsampleConv(x.shape[-1], dtype=self.dtype,
+                                 name="conv")(x)
 
 
 class Encoder(nn.Module):
