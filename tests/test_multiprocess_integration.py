@@ -44,7 +44,7 @@ def _cli_args(logdir, total_steps, resume=None):
     return args
 
 
-def _run_pair(cli_args, timeout=900):
+def _run_pair(cli_args, timeout=1800):
     """Launch both worker processes against a fresh coordinator port."""
     port = _free_port()
     env = dict(os.environ)
