@@ -117,6 +117,27 @@ class Trainer:
         self._jitted = None
         self._param_shardings = None
 
+    def _constrain_batch_sharding(self, tree):
+        """Pin model outputs to batch-over-'data' sharding. Without this,
+        SPMD propagation under fsdp+tp picks a feature-dim sharding for the
+        FinalLayer bias add (inherited from the ZeRO-sharded bias) and then
+        emits an involuntary full rematerialization (replicate + repartition)
+        to reach the consumer's layout — visible as a spmd_partitioner.cc
+        warning in the multichip dryrun. Only the fsdp plain-apply path is
+        pinned: pp/sp apply_fns (self.apply_fn) manage their own stage/
+        sequence shardings, and under plain dp/tp propagation already lands
+        on batch sharding (pinning there was measured on the 8-device
+        dryrun census to ADD collective-permutes and break dp-vs-fsdp loss
+        bit-equality)."""
+        if (self.apply_fn is not None
+                or not getattr(self.cfg, "fsdp", False)
+                or "data" not in self.mesh.shape):
+            return tree
+        sh = jax.sharding.NamedSharding(
+            self.mesh, jax.sharding.PartitionSpec("data"))
+        return jax.tree_util.tree_map(
+            lambda a: jax.lax.with_sharding_constraint(a, sh), tree)
+
     def _use_fused_opt(self) -> bool:
         """Fused AdamW+EMA applies when nothing needs the intermediate
         updates tree: no grad clipping (the optax chain handles that) and
@@ -279,7 +300,7 @@ class Trainer:
                       "label_dropout": rngs["label_dropout"]},
                 **kwargs,
             )
-            return out
+            return self._constrain_batch_sharding(out)
 
         if self.resampler is not None and resampler_state is not None:
             # Importance-sampled timesteps with unbiasing weights
