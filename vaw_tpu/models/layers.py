@@ -323,11 +323,14 @@ class FusedUpsampleConv(nn.Module):
         bias = self.param("bias", nn.initializers.zeros_init(),
                           (self.features,))
         x = x.astype(self.dtype)
-        k = kernel.astype(self.dtype)
         if fused_upsample_conv_enabled():
-            y = nearest2x_conv3x3(x, k)
+            # phase-kernel tap sums in f32 (the param dtype), THEN cast:
+            # one rounding on the summed taps instead of summing already-
+            # rounded bf16 weights — strictly closer to the unfused conv's
+            # f32-accumulated arithmetic under an amp policy.
+            y = nearest2x_conv3x3(x, kernel, kernel_dtype=self.dtype)
         else:
-            y = nearest2x_conv3x3_reference(x, k)
+            y = nearest2x_conv3x3_reference(x, kernel.astype(self.dtype))
         return y + bias.astype(y.dtype)
 
 

@@ -79,16 +79,20 @@ def _phase_kernel(w3):
     return jnp.concatenate(phases, axis=-1)  # [2, 2, Cin, 4*Cout]
 
 
-def nearest2x_conv3x3(x, w3):
+def nearest2x_conv3x3(x, w3, kernel_dtype=None):
     """Fused nearest-2x upsample + SAME 3x3 conv.
 
     x: [N, H, W, Cin] (NHWC), w3: [3, 3, Cin, Cout] (HWIO) ->
     [N, 2H, 2W, Cout]; bit-equivalent to nearest2x_conv3x3_reference up to
-    fp reassociation of the kernel-tap sums.
+    fp reassociation of the kernel-tap sums. kernel_dtype casts the
+    phase-stacked kernel AFTER the tap sums (pass the compute dtype with a
+    f32 w3 to keep the sums in f32 under an amp policy).
     """
     n, h, w, cin = x.shape
     cout = w3.shape[-1]
     k = _phase_kernel(w3)
+    if kernel_dtype is not None:
+        k = k.astype(kernel_dtype)
     xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
     # one VALID 2x2 conv computes every phase at every offset
     out = jax.lax.conv_general_dilated(
