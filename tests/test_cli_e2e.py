@@ -56,3 +56,26 @@ def test_cli_edm_sampler_path(tmp_path):
     state = train(cfg, ctx)
     assert int(state.step) == 1
     assert glob.glob(os.path.join(cfg.logdir, "sample", "1.png"))
+
+
+@pytest.mark.slow
+def test_cli_mmdit_class_cond_end_to_end(tmp_path):
+    """MM-DiT through the full CLI: class-conditional train step (dual
+    stream, VectorEmbedder conditioning) + CFG sampling grid. Locks in the
+    capability the reference leaves orphaned (its mmdit.py has no CLI
+    wiring) but we expose as --model MM-DiT-{S,B,L}."""
+    cfg = parse_args([
+        "--dataset", "Gaussian", "--model", "MM-DiT-S", "--image_size", "8",
+        "--patch_size", "4", "--in_chans", "3", "--num_classes", "10",
+        "--class_cond", "True", "--batch_size", "8", "--total_steps", "2",
+        "--sample_freq", "2", "--sample_steps", "4", "--diffusion_steps",
+        "20", "--save_step", "2", "--eval", "False", "--amp", "False",
+        "--solver", "ddim", "--logdir", str(tmp_path),
+        "--weight_type", "lambda", "--sample_size", "4",
+        "--num_samples", "4",
+    ])
+    ctx = init(cfg)
+    state = train(cfg, ctx)
+    assert int(state.step) == 2
+    assert glob.glob(os.path.join(cfg.logdir, "sample", "2.png"))
+    assert glob.glob(os.path.join(cfg.logdir, "checkpoint", "MM-DiT-S_*"))
