@@ -79,3 +79,44 @@ def test_cli_mmdit_class_cond_end_to_end(tmp_path):
     assert int(state.step) == 2
     assert glob.glob(os.path.join(cfg.logdir, "sample", "2.png"))
     assert glob.glob(os.path.join(cfg.logdir, "checkpoint", "MM-DiT-S_*"))
+
+
+@pytest.mark.slow
+def test_cli_flow_matching_end_to_end(tmp_path):
+    """Flow-matching mode through the full CLI: VECTOR-mean training and
+    the ODE sampling grid (reference: main.py --model_mode flow wiring)."""
+    cfg = parse_args([
+        "--dataset", "Gaussian", "--model", "DiT-S", "--image_size", "8",
+        "--patch_size", "4", "--in_chans", "3", "--num_classes", "0",
+        "--class_cond", "False", "--batch_size", "8", "--total_steps", "2",
+        "--sample_freq", "2", "--sample_steps", "4",
+        "--model_mode", "flow", "--mean_type", "VECTOR",
+        "--path_type", "linear", "--save_step", "0", "--eval", "False",
+        "--amp", "False", "--logdir", str(tmp_path),
+        "--sample_size", "4", "--num_samples", "4",
+    ])
+    ctx = init(cfg)
+    state = train(cfg, ctx)
+    assert int(state.step) == 2
+    assert glob.glob(os.path.join(cfg.logdir, "sample", "2.png"))
+
+
+@pytest.mark.slow
+def test_cli_adm_unet_end_to_end(tmp_path):
+    """ADM UNet through the full CLI at its native 32px: exercises the
+    FiLM ResBlocks, attention levels, and the fused upsample phase-conv
+    decoder path (ops/upsample_conv.py) inside the real train + DDIM
+    sampling programs."""
+    cfg = parse_args([
+        "--dataset", "Gaussian", "--model", "ADM-32", "--image_size", "32",
+        "--in_chans", "3", "--num_classes", "10", "--class_cond", "True",
+        "--batch_size", "8", "--total_steps", "1", "--sample_freq", "1",
+        "--sample_steps", "2", "--diffusion_steps", "20", "--save_step",
+        "0", "--eval", "False", "--amp", "False", "--solver", "ddim",
+        "--logdir", str(tmp_path), "--weight_type", "lambda",
+        "--sample_size", "2", "--num_samples", "2",
+    ])
+    ctx = init(cfg)
+    state = train(cfg, ctx)
+    assert int(state.step) == 1
+    assert glob.glob(os.path.join(cfg.logdir, "sample", "1.png"))
