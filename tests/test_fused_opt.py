@@ -145,5 +145,5 @@ def test_bf16_moments_close_to_f32():
 
 
 def test_bf16_moments_requires_fused():
-    with pytest.raises(AssertionError, match="fused"):
+    with pytest.raises(ValueError, match="fused"):
         _run_steps(_cfg(fused_optimizer=False, opt_bf16_moments=True), n=1)

@@ -445,12 +445,16 @@ def train(cfg, ctx):
         # uninterrupted one (the reference gets this from
         # DistributedSampler.set_epoch(step), tools/trainer.py:70-71).
         consumed = start_step * micro
-        if consumed % loader.batch_size == 0:
+        # samples -> batches by integer division is only exact when every
+        # loader batch is full: with drop_last=False a short final epoch
+        # batch would silently desync the resumed data order.
+        if consumed % loader.batch_size == 0 and getattr(
+                loader, "drop_last", True):
             loader.fast_forward(consumed // loader.batch_size)
         elif main_proc:
-            print("[resume] step*batch not divisible by loader batch; "
-                  "loader restarts at epoch 0 (data order will differ "
-                  "from the uninterrupted run)")
+            print("[resume] step*batch not divisible by loader batch (or "
+                  "drop_last=False); loader restarts at epoch 0 (data "
+                  "order will differ from the uninterrupted run)")
     data_iter = prefetch_to_device(
         _rebatched(loader, micro), mesh
     )

@@ -73,7 +73,8 @@ class PallasConv3x3(nn.Module):
         k = kernel.astype(self.dtype)
         from ..ops.conv2d import conv3x3, conv3x3_supported
 
-        if conv3x3_supported(x.shape, self.features):
+        if conv3x3_supported(x.shape, self.features,
+                             itemsize=jnp.dtype(self.dtype).itemsize):
             y = conv3x3(x, k)
         else:
             y = jax.lax.conv_general_dilated(
@@ -91,10 +92,9 @@ class PallasConv3x3(nn.Module):
 PallasConv3x3.__name__ = "Conv"
 
 
-def _upsample_nearest(x):
-    n, h, w, c = x.shape
-    x = jnp.broadcast_to(x[:, :, None, :, None, :], (n, h, 2, w, 2, c))
-    return x.reshape(n, 2 * h, 2 * w, c)
+# single definition of the nearest-2x helper (also used by the fused
+# upsample phase-conv's unfused reference path)
+from ..ops.upsample_conv import upsample_nearest2x as _upsample_nearest
 
 
 def _avg_pool2(x):

@@ -129,8 +129,18 @@ def multi_head_attention_fused(qkv2d: jnp.ndarray, num_heads: int,
             and not os.environ.get("VAW_DISABLE_FLASH") \
             and flash_fused_supported(b, num_heads, d, t):
         return flash_attention_fused(qkv2d, num_heads, scale=scale)
-    out = multi_head_attention_packed(
-        qkv2d.reshape(b, t, 3, num_heads, d), scale=scale)
+    if packed_qkv_enabled():
+        out = multi_head_attention_packed(
+            qkv2d.reshape(b, t, 3, num_heads, d), scale=scale)
+    else:
+        # VAW_PACKED_QKV=0 must kill the packed layout on EVERY route,
+        # including this fallback — otherwise disabling it while the
+        # (default-on) fused entry is active silently re-enters the path
+        # the operator just turned off.
+        q, k, v = jnp.split(qkv2d, 3, axis=-1)
+        out = multi_head_attention(
+            q.reshape(b, t, num_heads, d), k.reshape(b, t, num_heads, d),
+            v.reshape(b, t, num_heads, d), scale=scale)
     return out.reshape(b, t, num_heads * d)
 
 

@@ -61,7 +61,13 @@ def _fwd_kernel(xp_ref, wf_ref, out_ref, xtile, sem, *, TH, W, WP, cin,
     out_ref[0] = acc.astype(out_ref.dtype)
 
 
-def conv3x3_supported(shape, cout, tile_h=8) -> bool:
+def conv3x3_supported(shape, cout, tile_h=8, itemsize=2) -> bool:
+    """itemsize: bytes per element of the conv's compute dtype (2 for the
+    usual bf16 amp path, 4 for f32). The f32 budget matters: shapes that
+    fit the 12MB gate at 2 B/elem (e.g. the decoder skip-concat
+    geometries cin=1152,cout=192,w=8) need >16MB at 4 B/elem and would
+    fail Mosaic's scoped-VMEM allocation at compile time instead of
+    falling back to XLA."""
     n, h, w, cin = shape
     # w%8: the output block's sublane (width) dim must be tile-aligned.
     if not (h % tile_h == 0 and h >= tile_h and w % 8 == 0):
@@ -70,19 +76,20 @@ def conv3x3_supported(shape, cout, tile_h=8) -> bool:
     # (fwd, dgrad = fwd with cin/cout swapped, wgrad) must fit. The
     # high-channel 8px blocks (e.g. 768->1536) exceed it — leave to XLA.
     wp = w + 2 + ((-(w + 2)) % 8)
+    b = itemsize
 
     def fwd_est(ci, co):
         ci_p = ci + ((-ci) % 128)
-        return (ci_p * 9 * co * 2               # wf block
-                + (tile_h + 2) * wp * ci_p * 2  # xtile scratch
+        return (ci_p * 9 * co * b               # wf block
+                + (tile_h + 2) * wp * ci_p * b  # xtile scratch
                 + (tile_h + 2) * wp * 9 * co * 4  # t9 + acc (f32 stack)
-                + tile_h * w * co * 2)          # out block
+                + tile_h * w * co * b)          # out block
 
     cin_p = cin + ((-cin) % 128)
-    wgrad_est = ((tile_h + 2) * wp * cin_p * 2      # xtile
-                 + (tile_h + 2) * wp * 9 * cout * 2  # gpad scratch
+    wgrad_est = ((tile_h + 2) * wp * cin_p * b      # xtile
+                 + (tile_h + 2) * wp * 9 * cout * b  # gpad scratch
                  + cin_p * 9 * cout * 4             # dw accum block
-                 + tile_h * w * cout * 2)           # g block
+                 + tile_h * w * cout * b)           # g block
     est = max(fwd_est(cin, cout), fwd_est(cout, cin), wgrad_est)
     return est <= 12 * 1024 * 1024
 

@@ -32,8 +32,12 @@ def _collective_census(compiled) -> dict:
     proof that the sharding annotations actually materialized as
     communication, not silent replication."""
     txt = compiled.as_text()
-    return {op: txt.count(f" {op}") + txt.count(f"{op}(") for op in
-            _COLLECTIVES}
+    # Count each collective exactly once: the sync form "all-reduce(" and
+    # the async form "all-reduce-start(" (the matching "-done(" is the same
+    # op). A bare substring match (" all-reduce") would count a sync op
+    # twice and conflate start/done pairs.
+    return {op: txt.count(f"{op}(") + txt.count(f"{op}-start(")
+            for op in _COLLECTIVES}
 
 
 def dryrun_multichip(n_devices: int) -> None:

@@ -127,8 +127,8 @@ class Trainer:
         pinned: pp/sp apply_fns (self.apply_fn) manage their own stage/
         sequence shardings, and under plain dp/tp propagation already lands
         on batch sharding (pinning there was measured on the 8-device
-        dryrun census to ADD collective-permutes and break dp-vs-fsdp loss
-        bit-equality)."""
+        dryrun census to roughly 90x the collective-permute count and
+        break dp-vs-fsdp loss bit-equality)."""
         if (self.apply_fn is not None
                 or not getattr(self.cfg, "fsdp", False)
                 or "data" not in self.mesh.shape):
@@ -171,9 +171,13 @@ class Trainer:
             # params/EMA remain f32 masters. ~22% less optimizer HBM
             # traffic; loss trajectory drift is bounded by
             # tests/test_fused_opt.py::test_bf16_moments_close_to_f32.
-            assert self._use_fused_opt(), (
-                "--opt_bf16_moments requires the fused optimizer "
-                "(--fused_optimizer True, no --grad_clip)")
+            # Explicit raise (not assert): the optax chain was never
+            # validated with bf16 mu/nu, and python -O would strip an
+            # assert and silently fall through into it.
+            if not self._use_fused_opt():
+                raise ValueError(
+                    "--opt_bf16_moments requires the fused optimizer "
+                    "(--fused_optimizer True, no --grad_clip)")
             from .fused_opt import find_adam_state
 
             i, adam = find_adam_state(opt_state)
