@@ -106,3 +106,34 @@ def test_interval_cfg_scale_one_matches_doubled_path():
     slow = IntervalCFG(model_fn, 10, 3.0, class_cond=True)(x, t, y=y, g=1.0)
     np.testing.assert_allclose(np.asarray(fast), np.asarray(slow),
                                rtol=1e-6, atol=1e-6)
+
+
+def test_packed_kill_switch_honored_on_fused_fallback(monkeypatch):
+    """VAW_PACKED_QKV=0 must disable the packed layout on EVERY route —
+    including the (default-on) fused t-major entry's fallback for shapes
+    the Pallas kernel rejects. Regression test for the routing hole where
+    disabling packed while fused stayed on silently re-entered the packed
+    path."""
+    from vaw_tpu.ops import attention as att
+
+    called = []
+    orig = att.multi_head_attention_packed
+
+    def spy(*a, **kw):
+        called.append(1)
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(att, "multi_head_attention_packed", spy)
+    qkv = jnp.asarray(
+        np.random.RandomState(0).randn(2, 12, 3 * 4 * 8), jnp.float32)
+
+    monkeypatch.setenv("VAW_PACKED_QKV", "1")
+    out_packed = att.multi_head_attention_fused(qkv, num_heads=4)
+    assert called, "packed enabled: fallback must route through packed"
+
+    called.clear()
+    monkeypatch.setenv("VAW_PACKED_QKV", "0")
+    out_split = att.multi_head_attention_fused(qkv, num_heads=4)
+    assert not called, "VAW_PACKED_QKV=0: fused fallback must NOT use packed"
+    np.testing.assert_allclose(np.asarray(out_packed), np.asarray(out_split),
+                               rtol=1e-6, atol=1e-6)
