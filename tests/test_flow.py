@@ -135,3 +135,26 @@ def test_training_losses_and_time_dist():
     )
     assert terms["loss"].shape == (SHAPE[0],)
     assert np.isfinite(np.asarray(terms["loss"])).all()
+
+
+@pytest.mark.parametrize("mt", [ModelMeanType.EPSILON])
+def test_flow_sampling_rejects_singular_mean_types(mt):
+    """EPSILON flow sampling divides by alpha_t=0 on the first drift eval
+    (the reference NaNs identically, gaussian_diffusion.py:1205-1228 on its
+    linspace(1,0) grid); the sampler must refuse loudly, not return NaN."""
+    fm = FlowMatching(model_mean_type=mt, path_type="linear")
+    noise = jnp.zeros((2, 4, 4, 1))
+    model = lambda x, t: x
+    with pytest.raises(ValueError, match="singular"):
+        fm.ode_sample(model, noise, num_steps=4, solver="euler")
+    with pytest.raises(ValueError, match="singular"):
+        fm.sde_sample(model, jax.random.key(0), noise, num_steps=4,
+                      solver="euler")
+
+
+def test_flow_ode_rejects_start_x():
+    fm = FlowMatching(model_mean_type=ModelMeanType.START_X,
+                      path_type="linear")
+    with pytest.raises(ValueError, match="singular"):
+        fm.ode_sample(lambda x, t: x, jnp.zeros((2, 4, 4, 1)),
+                      num_steps=4, solver="euler")

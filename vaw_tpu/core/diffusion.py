@@ -335,10 +335,7 @@ class GaussianDiffusion:
             model_fn, x, t, clip_denoised, denoised_fn, model_kwargs
         )
         s = self.schedule
-        eps = (
-            _extract(s.sqrt_recip_alphas_cumprod, t, x.ndim) * x
-            - out["pred_xstart"]
-        ) / _extract(s.sqrt_recipm1_alphas_cumprod, t, x.ndim)
+        eps = self._predict_eps_from_xstart(x, t, out["pred_xstart"])
         alpha_bar_next = _extract(s.alphas_cumprod_next, t, x.ndim)
         mean_pred = (
             out["pred_xstart"] * jnp.sqrt(alpha_bar_next)
@@ -498,6 +495,12 @@ class GaussianDiffusion:
             align = compute_align_loss(features, sec_out, self.align_type)
             terms["align"] = align
 
+        # Parity note: when a learned-variance vb term is present the align
+        # loss is reported in terms["align"] but NOT added to the total —
+        # this reproduces the reference exactly (gaussian_diffusion.py:
+        # 921-926 has the same elif chain), where REPA + learned-variance
+        # silently trains without the align gradient. Divergence here would
+        # change training trajectories vs the reference.
         if "vb" in terms:
             terms["loss"] = terms["mse"] + terms["vb"]
         elif self.learn_align:

@@ -208,6 +208,26 @@ class FlowMatching:
         _, sigma_t, _, d_sigma_t = interpolant(self.path_type, te)
         return 2 * sigma_t * d_sigma_t
 
+    def _check_sampleable(self, ode: bool):
+        """Flow sampling evaluates the drift at the path endpoints, where
+        the EPSILON and (for ODE grids reaching t=0) START_X conversions
+        divide by alpha_t=0 / sigma_t=0 — the reference has the identical
+        singularity (gaussian_diffusion.py:1205-1228 evaluated on its
+        linspace(1,0) grid) and returns all-NaN batches. Fail loudly at
+        sampler entry instead."""
+        mt = self.model_mean_type
+        if mt == ModelMeanType.EPSILON:
+            raise ValueError(
+                "flow sampling with mean_type EPSILON is singular at t=1 "
+                "(alpha_t=0 -> NaN on the first drift eval; the reference "
+                "NaNs identically). Train/sample flow models with "
+                "--mean_type VECTOR (or VELOCITY/START_X for SDE).")
+        if ode and mt == ModelMeanType.START_X:
+            raise ValueError(
+                "flow ODE sampling with mean_type START_X is singular at "
+                "t=0 (sigma_t=0 on the final drift eval). Use the SDE "
+                "sampler (its last eval is at t=0.04) or VECTOR/VELOCITY.")
+
     def ode_sample(self, model_fn, noise, num_steps=50, solver="heun",
                    model_kwargs=None, rtol=1e-3, atol=1e-6):
         """Probability-flow ODE from t=1 to t=0.
@@ -219,6 +239,7 @@ class FlowMatching:
         self.rtol/self.atol (gaussian_diffusion.py:1362), fixed here by
         taking them as arguments."""
         model_kwargs = model_kwargs or {}
+        self._check_sampleable(ode=True)
         if solver == "dopri5":
             return self._dopri5(model_fn, noise, model_kwargs, rtol, atol)
         ts = jnp.linspace(1.0, 0.0, num_steps)
@@ -321,6 +342,7 @@ class FlowMatching:
         (reference: tools/gaussian_diffusion.py:1371-1409): integrate from
         t=1 to t=0.04 stochastically, then one drift-only step to t=0."""
         model_kwargs = model_kwargs or {}
+        self._check_sampleable(ode=False)
         ts = jnp.concatenate([jnp.linspace(1.0, 0.04, num_steps),
                               jnp.zeros((1,))])
 

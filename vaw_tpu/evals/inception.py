@@ -263,7 +263,16 @@ def make_inception_backend(backend: str = "auto",
         return InceptionV3Features(**kwargs)
     if backend == "auto":
         try:
-            return InceptionV3JAXFeatures(**kwargs)
+            be = InceptionV3JAXFeatures(**kwargs)
+            # Constructing the backend only parses the graph; unsupported
+            # ops surface at the first evaluation. Trace a 1-image dummy
+            # HERE so a graph outside tf_graph.py's op census falls back to
+            # the TF session instead of raising NotImplementedError
+            # mid-eval.
+            import numpy as np
+
+            be.features(np.zeros((1, 64, 64, 3), np.uint8))
+            return be
         except FileNotFoundError:
             raise
         except Exception:  # noqa: BLE001 — unsupported op in custom graphs

@@ -66,6 +66,14 @@ class Sampler:
                 f"--solver ddim (got model_mode={cfg.model_mode!r}, "
                 f"solver={cfg.solver!r})"
             )
+        if classifier_fn is not None and not cfg.class_cond:
+            # The classifier guides toward the sampled labels y; without
+            # class_cond no labels are drawn and the cond_fn receives
+            # y=None (the reference crashes identically — its cond_fn
+            # asserts y, sampler.py:82-96 with _get_y_cond returning None).
+            raise ValueError(
+                "--use_classifier requires --class_cond True: the "
+                "classifier needs target labels to guide toward")
         self.params = params
         if params is None:
             self._apply = lambda p, x, t, **kw: model_fn(x, t, **kw)

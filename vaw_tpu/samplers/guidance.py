@@ -39,6 +39,12 @@ class IntervalCFG:
     fn(x, t, y, g): [cond; null] double batch -> uncond + g*(cond-uncond).
     When class conditioning is off it reduces to the raw model.
 
+    Parity note: like the reference (sampler.py:47-48), the combination is
+    applied to the FULL model output — for learn_sigma models that includes
+    the learned-variance channels, which DiT-style forward_with_cfg would
+    instead take from the cond half. We reproduce the reference's choice
+    exactly; divergence here would change sampled trajectories.
+
     The per-call scale g can be passed explicitly (EDM path, host-planned) or
     derived in-graph from t against the finite guidance interval — a
     branch-free jnp.where instead of the reference's Python float() check."""
@@ -54,6 +60,10 @@ class IntervalCFG:
         self.class_cond = class_cond
 
     def _scale_from_time(self, t):
+        """In-graph twin of cfg_scale_for_time — same interval rule, with
+        the inside/outside selection as a traceable jnp.where. Any change
+        to the interval semantics must be made in BOTH (the EDM path plans
+        g host-side via cfg_scale_for_time; DDIM/flow derive it here)."""
         if abs(self.guidance_scale - 1.0) < 1e-8:
             return 1.0
         t_from, t_to = self.interval
