@@ -186,3 +186,68 @@ def test_slab_loader_fast_forward_matches_uninterrupted():
             np.testing.assert_array_equal(
                 next(it2)["image"], full[n + k]["image"],
                 err_msg=f"n={n} k={k}")
+
+
+def test_latent_pixel_slab_carries_pixels(tmp_path):
+    """load_dataset routes Latent_Pixel to SlabShuffleLoader (get_slab);
+    the slab read must carry the pixels key — dropping it silently fed the
+    8-channel moment stack to the REPA teacher as 'pixels'."""
+    import h5py
+
+    path = str(tmp_path / "latents.h5")
+    rs = np.random.RandomState(0)
+    with h5py.File(path, "w") as f:
+        f["train_latents"] = rs.randn(20, 8, 4, 4).astype(np.float32)
+        f["train_labels"] = np.arange(20)
+        f["train_pixels"] = rs.randint(
+            0, 255, (20, 3, 32, 32)).astype(np.uint8)
+    dsp = LatentWithPixelDataset(path)
+    slab = dsp.get_slab(2, 7)
+    assert slab["pixels"].shape == (5, 32, 32, 3)
+    assert slab["image"].shape == (5, 4, 4, 8)
+
+    train, _ = load_dataset(path, "Latent_Pixel", batch_size=4,
+                            image_size=32)
+    batch = next(iter(train))
+    assert "pixels" in batch, "loader batches must include teacher pixels"
+    assert batch["pixels"].shape == (4, 32, 32, 3)
+
+
+def test_prefetch_propagates_worker_errors():
+    """An exception in the prefetch worker must surface in the consumer,
+    not masquerade as clean end-of-data (which would silently stop
+    training and hang multi-host peers)."""
+    import pytest
+
+    from vaw_tpu.data.pipeline import prefetch_to_device
+    from vaw_tpu.parallel import make_mesh
+
+    def bad_iter():
+        yield {"image": np.zeros((8, 4, 4, 3), np.float32),
+               "label": np.zeros((8,), np.int32)}
+        raise OSError("disk exploded")
+
+    gen = prefetch_to_device(bad_iter(), make_mesh(), size=2)
+    next(gen)
+    with pytest.raises(RuntimeError, match="prefetch worker failed"):
+        for _ in gen:
+            pass
+
+
+def test_image_folder_parallel_decode_matches_serial(tmp_path):
+    from PIL import Image
+
+    for i in range(6):
+        d = tmp_path / ("a" if i < 3 else "b")
+        d.mkdir(exist_ok=True)
+        Image.fromarray(
+            np.random.RandomState(i).randint(
+                0, 255, (20, 20, 3)).astype(np.uint8)
+        ).save(d / f"{i}.png")
+    serial = ImageFolderDataset(str(tmp_path), image_size=16, flip=False)
+    par = ImageFolderDataset(str(tmp_path), image_size=16, flip=False,
+                             num_workers=4)
+    bs = serial.get_batch(np.arange(6))
+    bp = par.get_batch(np.arange(6))
+    np.testing.assert_array_equal(bs["image"], bp["image"])
+    np.testing.assert_array_equal(bs["label"], bp["label"])

@@ -177,11 +177,19 @@ class ImageFolderDataset:
     EXTS = (".png", ".jpg", ".jpeg", ".webp", ".bmp")
 
     def __init__(self, root: str, image_size: int, random_crop=False,
-                 flip=True):
+                 flip=True, num_workers: int = 0):
         self.root = root
         self.image_size = image_size
         self.random_crop = random_crop
         self.flip = flip
+        # Parallel JPEG decode + crop: the reference feeds this pipeline
+        # with torch DataLoader workers (main.py num_workers); a serial
+        # decode of batch_size images starves the TPU step on real folders.
+        self._pool = None
+        if num_workers and num_workers > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            self._pool = ThreadPoolExecutor(max_workers=num_workers)
         classes = sorted(
             d for d in os.listdir(root)
             if os.path.isdir(os.path.join(root, d))
@@ -220,7 +228,11 @@ class ImageFolderDataset:
         return arr
 
     def get_batch(self, idx: np.ndarray) -> Dict[str, np.ndarray]:
-        imgs = np.stack([self._load(self.samples[i][0]) for i in idx])
+        paths = [self.samples[i][0] for i in idx]
+        if self._pool is not None:
+            imgs = np.stack(list(self._pool.map(self._load, paths)))
+        else:
+            imgs = np.stack([self._load(p) for p in paths])
         labels = np.asarray([self.samples[i][1] for i in idx], np.int32)
         return {"image": _normalize(imgs), "label": labels}
 
@@ -279,6 +291,16 @@ class LatentWithPixelDataset(LatentDataset):
         out = super().get_batch(idx)
         pix = self._sorted_read(self.pixels, np.asarray(idx))
         out["pixels"] = np.transpose(pix, (0, 2, 3, 1)).astype(np.float32)
+        return out
+
+    def get_slab(self, start: int, end: int) -> Dict[str, np.ndarray]:
+        # MUST carry pixels too: load_dataset routes this dataset to
+        # SlabShuffleLoader (hasattr get_slab), and the inherited slab read
+        # would silently drop the REPA teacher input — the trainer would
+        # fall back to treating the 8-channel moment stack as pixels.
+        out = super().get_slab(start, end)
+        out["pixels"] = np.transpose(
+            self.pixels[start:end], (0, 2, 3, 1)).astype(np.float32)
         return out
 
 
@@ -488,7 +510,8 @@ def load_dataset(data_dir: str, dataset: str, batch_size: int,
         root = os.path.join(data_dir, sub.get(dataset, ""))
         if not os.path.isdir(root):
             root = data_dir
-        train = ImageFolderDataset(root, image_size, random_crop=False)
+        train = ImageFolderDataset(root, image_size, random_crop=False,
+                                   num_workers=num_workers)
         test = train
     elif dataset == "Latent":
         path = data_dir if data_dir.endswith(".h5") else os.path.join(

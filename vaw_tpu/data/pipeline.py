@@ -47,11 +47,19 @@ def prefetch_to_device(iterator: Iterator, mesh, size: int = 2,
     if background:
         q: queue_mod.Queue = queue_mod.Queue(maxsize=size)
         sentinel = object()
+        err: list = []
 
         def worker():
+            # An exception here (HDF5 read error, corrupt image, OOM in
+            # device_put) must surface in the CONSUMER: enqueueing only the
+            # sentinel would look like clean end-of-data, silently stopping
+            # training mid-run (and hanging peers at the next collective on
+            # multi-host).
             try:
                 for batch in iterator:
                     q.put(put(batch))
+            except BaseException as e:  # noqa: BLE001 — re-raised below
+                err.append(e)
             finally:
                 q.put(sentinel)
 
@@ -60,6 +68,9 @@ def prefetch_to_device(iterator: Iterator, mesh, size: int = 2,
         while True:
             item = q.get()
             if item is sentinel:
+                if err:
+                    raise RuntimeError(
+                        "data prefetch worker failed") from err[0]
                 return
             yield item
     else:

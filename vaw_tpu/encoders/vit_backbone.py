@@ -232,8 +232,11 @@ def make_teacher(family: str, size: str, image_size: int = 224,
     assert family in FAMILY_CONFIGS, f"unknown encoder family {family}"
     embed_dim, depth, num_heads = _SIZES[size]
     cfg = dict(FAMILY_CONFIGS[family])
-    if family == "clip" and size == "l":
-        cfg["patch_size"] = 14
+    if family == "clip" and size != "l":
+        # OpenAI CLIP: ViT-L is /14, ViT-B is /16. The reference supports
+        # only ViT-L/14 (tools/encoders.py:165-168 raises for other sizes);
+        # the B/16 geometry here is the correct superset.
+        cfg["patch_size"] = 16
     return FeatureViT(
         image_size=image_size, embed_dim=embed_dim, depth=depth,
         num_heads=num_heads, dtype=dtype, **cfg,

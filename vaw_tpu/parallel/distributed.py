@@ -43,7 +43,25 @@ def setup_distributed(coordinator_address: Optional[str] = None,
             jax.distributed.initialize()
             _INITIALIZED = True
             return True
-        except Exception:  # noqa: BLE001 — single-process fallback
+        except Exception as e:  # noqa: BLE001 — single-process fallback
+            # Only a clean "not in a multi-process environment" should
+            # degrade silently. A real pod whose coordinator connection
+            # failed must NOT proceed as N independent single-process runs
+            # (each would consume the full dataset and write its own
+            # logdir) — surface the swallowed error loudly.
+            import os
+            import sys
+
+            pod_env = any(os.environ.get(k) for k in (
+                "COORDINATOR_ADDRESS", "JAX_COORDINATOR_ADDRESS",
+                "MEGASCALE_COORDINATOR_ADDRESS"))
+            if pod_env:
+                raise RuntimeError(
+                    "jax.distributed.initialize() failed although a "
+                    "coordinator address is configured — refusing to "
+                    "silently run single-process on a pod") from e
+            print(f"[distributed] single-process fallback ({e})",
+                  file=sys.stderr)
             return False
     jax.distributed.initialize(
         coordinator_address=coordinator_address,

@@ -26,7 +26,10 @@ __all__ = ["make_mesh", "batch_sharding", "replicated_sharding",
 
 
 def local_device_count() -> int:
-    return len(jax.devices())
+    """Devices attached to THIS process (on a pod, jax.devices() is the
+    global count after jax.distributed.initialize — not what the name
+    promises)."""
+    return jax.local_device_count()
 
 
 def make_mesh(data_axis: int = -1, model_axis: int = 1,

@@ -35,13 +35,18 @@ def _build() -> Optional[str]:
     if (os.path.exists(so_path)
             and os.path.getmtime(so_path) >= os.path.getmtime(_SRC)):
         return so_path
+    # Per-pid temp name: concurrent first-builds from multiple processes
+    # (the 2-process integration tests, multi-host pods on shared /tmp)
+    # would otherwise interleave writes into one .tmp and publish a
+    # corrupt .so via os.replace.
+    tmp = f"{so_path}.{os.getpid()}.tmp"
     cmd = [
         "g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-pthread",
-        _SRC, "-o", so_path + ".tmp",
+        _SRC, "-o", tmp,
     ]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
-        os.replace(so_path + ".tmp", so_path)
+        os.replace(tmp, so_path)
         return so_path
     except Exception:  # noqa: BLE001 — fall back to numpy
         return None
@@ -56,7 +61,12 @@ def get_lib() -> Optional[ctypes.CDLL]:
         so_path = _build()
         if so_path is None:
             return None
-        lib = ctypes.CDLL(so_path)
+        try:
+            lib = ctypes.CDLL(so_path)
+        except OSError:
+            # A corrupt cached .so (partial write from a crashed build)
+            # must degrade to the numpy path, not kill training.
+            return None
         lib.vaw_gather_normalize.argtypes = [
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_void_p,

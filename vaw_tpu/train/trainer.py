@@ -278,6 +278,12 @@ class Trainer:
 
             pixels = batch.get("pixels")
             if pixels is None:
+                if x.shape[-1] not in (1, 3):
+                    raise ValueError(
+                        "REPA align needs teacher pixels: the batch has no "
+                        f"'pixels' key and x has {x.shape[-1]} channels "
+                        "(latent moments, not an image) — use a "
+                        "Latent_Pixel dataset that stores pixels")
                 pixels = (x + 1.0) * 127.5
             features = get_feature(cfg.enc_type, pixels, self.encoder_fn)
 

@@ -89,6 +89,13 @@ class CSVOutputFormat(KVWriter):
         self.path = path
         self.keys: List[str] = []
         self.file = open(path, "a+")
+        # Seed keys from an existing header so appending to a resumed CSV
+        # extends columns instead of rewriting the header over old rows.
+        self.file.seek(0)
+        first = self.file.readline().rstrip("\n")
+        if first:
+            self.keys = first.split(",")
+        self.file.seek(0, 2)
 
     def writekvs(self, kvs):
         extra = [k for k in kvs if k not in self.keys]

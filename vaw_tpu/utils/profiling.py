@@ -102,22 +102,24 @@ def summarize_xplane(xplane_path: str, top: int = 25):
     with open(xplane_path, "rb") as f:
         xs.ParseFromString(f.read())
     result = {"categories": {}, "ops": [], "busy_ms": 0.0, "span_ms": 0.0}
+    # Accumulate ACROSS planes: a multi-chip host emits one TPU plane per
+    # device; overwriting per plane would report only the last chip.
+    bycat: Counter = Counter()
+    byop: Counter = Counter()
     for plane in xs.planes:
         if "TPU" not in plane.name:
             continue
         smeta = {k: v.name for k, v in plane.stat_metadata.items()}
-        bycat: Counter = Counter()
-        byop: Counter = Counter()
         for line in plane.lines:
             if line.name != "XLA Ops":
                 continue
             events = sorted(line.events, key=lambda e: e.offset_ps)
             if not events:
                 continue
-            result["span_ms"] = (
+            result["span_ms"] = max(result["span_ms"], (
                 events[-1].offset_ps + events[-1].duration_ps
                 - events[0].offset_ps
-            ) / 1e9
+            ) / 1e9)
             merged = 0
             cur_s = cur_e = None
             for ev in events:
@@ -142,7 +144,7 @@ def summarize_xplane(xplane_path: str, top: int = 25):
                 byop[prov or md.name] += ev.duration_ps / 1e9
             if cur_e is not None:
                 merged += cur_e - cur_s
-            result["busy_ms"] = merged / 1e9
-        result["categories"] = dict(bycat.most_common())
-        result["ops"] = byop.most_common(top)
+            result["busy_ms"] += merged / 1e9
+    result["categories"] = dict(bycat.most_common())
+    result["ops"] = byop.most_common(top)
     return result
