@@ -448,8 +448,10 @@ def train(cfg, ctx):
         # samples -> batches by integer division is only exact when every
         # loader batch is full: with drop_last=False a short final epoch
         # batch would silently desync the resumed data order.
+        # getattr default False: a loader that doesn't declare its
+        # tail-batch policy must NOT be optimistically fast-forwarded.
         if consumed % loader.batch_size == 0 and getattr(
-                loader, "drop_last", True):
+                loader, "drop_last", False):
             loader.fast_forward(consumed // loader.batch_size)
         elif main_proc:
             print("[resume] step*batch not divisible by loader batch (or "

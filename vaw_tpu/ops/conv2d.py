@@ -61,9 +61,11 @@ def _fwd_kernel(xp_ref, wf_ref, out_ref, xtile, sem, *, TH, W, WP, cin,
     out_ref[0] = acc.astype(out_ref.dtype)
 
 
-def conv3x3_supported(shape, cout, tile_h=8, itemsize=2) -> bool:
-    """itemsize: bytes per element of the conv's compute dtype (2 for the
-    usual bf16 amp path, 4 for f32). The f32 budget matters: shapes that
+def conv3x3_supported(shape, cout, tile_h=8, *, itemsize) -> bool:
+    """itemsize (required, keyword-only): bytes per element of the conv's
+    compute dtype (2 for the usual bf16 amp path, 4 for f32) — a default
+    would silently re-open the f32 under-estimation. The f32 budget
+    matters: shapes that
     fit the 12MB gate at 2 B/elem (e.g. the decoder skip-concat
     geometries cin=1152,cout=192,w=8) need >16MB at 4 B/elem and would
     fail Mosaic's scoped-VMEM allocation at compile time instead of

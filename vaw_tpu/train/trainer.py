@@ -135,8 +135,13 @@ class Trainer:
             return tree
         sh = jax.sharding.NamedSharding(
             self.mesh, jax.sharding.PartitionSpec("data"))
+        # Batch-leading rank>=1 leaves only: a rank-0 aux leaf would fail
+        # the rank-1 spec at trace time, and this pin is only meaningful
+        # for batch-major outputs (DiT/MM-DiT return (x, zs), all
+        # batch-leading).
         return jax.tree_util.tree_map(
-            lambda a: jax.lax.with_sharding_constraint(a, sh), tree)
+            lambda a: (jax.lax.with_sharding_constraint(a, sh)
+                       if getattr(a, "ndim", 0) >= 1 else a), tree)
 
     def _use_fused_opt(self) -> bool:
         """Fused AdamW+EMA applies when nothing needs the intermediate
