@@ -26,12 +26,23 @@ CLIP_MEAN = np.array([0.48145466, 0.4578275, 0.40821073], np.float32)
 CLIP_STD = np.array([0.26862954, 0.26130258, 0.27577711], np.float32)
 
 
+def _first_spec(enc_type: str) -> str:
+    """Canonicalize a (possibly comma-separated) enc_type to the single
+    spec that is actually used. Only teacher 0 is ever consumed
+    (reference: tools/align_utils.py:15 takes encoder[0]), but the
+    reference keys preprocessing off the FULL string — a multi-spec like
+    'dinov2-vit-b,clip-vit-l' would CLIP-normalize dinov2 inputs there.
+    Every function here parses the same first spec so that can't happen."""
+    return enc_type.split(",")[0].strip()
+
+
 def initialize_encoders(enc_type: str, image_size: int, dtype=jnp.float32):
     """Teacher at pixel resolution image_size*8 — i.e. the pre-VAE pixel
     resolution when training in latent space
-    (reference: tools/align_utils.py:12-16)."""
+    (reference: tools/align_utils.py:12-16). Only the first spec of a
+    comma-separated list is loaded (see _first_spec)."""
     encoder_fns, _, families = load_encoders(
-        enc_type, image_size * 8, dtype=dtype
+        _first_spec(enc_type), image_size * 8, dtype=dtype
     )
     return encoder_fns[0], families[0]
 
@@ -43,6 +54,7 @@ def preprocess_raw_image(x: jnp.ndarray, enc_type: str) -> jnp.ndarray:
     pick the pos-embed resample grid, so the two can never drift."""
     from .loaders import runtime_image_size
 
+    enc_type = _first_spec(enc_type)
     family = enc_type.split("-")[0]
     resolution = x.shape[1]
     target = runtime_image_size(family, resolution)
@@ -66,6 +78,7 @@ def get_feature(enc_type: str, pixels: jnp.ndarray,
     """Frozen-teacher features for the REPA loss
     (reference: tools/align_utils.py:43-50). Output: [N, T, D] patch tokens.
     """
+    enc_type = _first_spec(enc_type)
     x = preprocess_raw_image(pixels, enc_type)
     feats = encoder_fn(x)
     feats = jax.lax.stop_gradient(feats)

@@ -94,8 +94,14 @@ class GroupNorm32(nn.Module):
         groups = min(self.num_groups, x.shape[-1])
         while x.shape[-1] % groups:
             groups -= 1
+        # dtype must be pinned to the activation dtype: flax's default
+        # (dtype=None) canonicalizes the result to promote(x.dtype,
+        # param_dtype) = f32, re-creating exactly the two full-tensor f32
+        # HBM round-trips described above. Stats still reduce in f32
+        # (flax upcasts half-precision inputs inside _compute_stats).
         return nn.GroupNorm(
-            num_groups=groups, epsilon=1e-5, param_dtype=jnp.float32,
+            num_groups=groups, epsilon=1e-5, dtype=x.dtype,
+            param_dtype=jnp.float32,
         )(x)
 
 
@@ -107,16 +113,21 @@ class Mlp(nn.Module):
     act: Callable = nn.gelu
     dropout: float = 0.0
     dtype: jnp.dtype = jnp.float32
+    # DiT-style xavier by default; ViT overrides with depth-scaled
+    # trunc_normal to match the reference fix_init_weight rescale of
+    # mlp.fc2 (reference: models/vit.py:383-389).
+    kernel_init: Callable = xavier_uniform_init
+    out_kernel_init: Optional[Callable] = None
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
         out_features = self.out_features or x.shape[-1]
         x = nn.Dense(self.hidden_features, dtype=self.dtype,
-                     kernel_init=xavier_uniform_init)(x)
+                     kernel_init=self.kernel_init)(x)
         x = self.act(x)
         x = nn.Dropout(self.dropout, deterministic=deterministic)(x)
         x = nn.Dense(out_features, dtype=self.dtype,
-                     kernel_init=xavier_uniform_init)(x)
+                     kernel_init=self.out_kernel_init or self.kernel_init)(x)
         x = nn.Dropout(self.dropout, deterministic=deterministic)(x)
         return x
 
@@ -145,6 +156,10 @@ class PatchEmbed(nn.Module):
     embed_dim: int
     use_bias: bool = True
     dtype: jnp.dtype = jnp.float32
+    # DiT initializes the patch projection xavier_uniform (reference
+    # dit.py:207-210); ViT overrides with trunc_normal(0.02) to match its
+    # _init_weights (reference vit.py:361, 391-394).
+    kernel_init: Callable = xavier_uniform_init
 
     @nn.compact
     def __call__(self, x):
@@ -152,7 +167,7 @@ class PatchEmbed(nn.Module):
         x = nn.Conv(
             self.embed_dim, (p, p), strides=(p, p), padding="VALID",
             use_bias=self.use_bias, dtype=self.dtype,
-            kernel_init=xavier_uniform_init,
+            kernel_init=self.kernel_init,
         )(x)
         n, h, w, d = x.shape
         return x.reshape(n, h * w, d)

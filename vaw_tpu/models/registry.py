@@ -30,6 +30,13 @@ def build_model(cfg):
     argument wiring (reference: main.py:184-221). cfg is a TrainConfig or any
     object with the same attribute names."""
     name = cfg.model
+    # class_cond=False means an unconditional model regardless of
+    # num_classes. The reference wires num_classes unconditionally into the
+    # non-UNet families (main.py:207-220) and would crash on the first
+    # label-less forward (dit.py:269 asserts y); the UNet factory's
+    # `num_classes if class_cond else 0` semantic (unet.py:929 in the
+    # reference) is applied uniformly here instead.
+    num_classes = cfg.num_classes if cfg.class_cond else 0
     if name in UNet_models:
         return UNet_models[name](
             num_classes=cfg.num_classes, in_channels=cfg.in_chans,
@@ -40,9 +47,18 @@ def build_model(cfg):
             dtype=cfg.compute_dtype,
         )
     if name in UViT_models:
+        if cfg.learn_sigma:
+            # The reference U-ViT always predicts in_channels
+            # (models/uvit.py:185-187) — there is no 2C variance head. A
+            # silent build would split the C-channel output in half deep
+            # inside the LEARNED_RANGE loss; refuse up front instead.
+            raise ValueError(
+                "U-ViT does not support learn_sigma (fixed in_channels "
+                "output head); use --learn_sigma False or a UNet/DiT/ViT "
+                "backbone")
         return UViT_models[name](
             image_size=cfg.image_size, patch_size=cfg.patch_size,
-            in_channels=cfg.in_chans, num_classes=cfg.num_classes,
+            in_channels=cfg.in_chans, num_classes=num_classes,
             class_dropout_prob=cfg.drop_label_prob,
             use_checkpoint=getattr(cfg, "use_checkpoint", False),
             remat_policy=getattr(cfg, "remat_policy", "full"),
@@ -51,7 +67,7 @@ def build_model(cfg):
     if name in ViT_models:
         return ViT_models[name](
             image_size=cfg.image_size, patch_size=cfg.patch_size,
-            in_channels=cfg.in_chans, num_classes=cfg.num_classes,
+            in_channels=cfg.in_chans, num_classes=num_classes,
             learn_sigma=cfg.learn_sigma, drop_rate=cfg.dropout,
             drop_label_prob=cfg.drop_label_prob,
             use_checkpoint=getattr(cfg, "use_checkpoint", False),
@@ -61,7 +77,7 @@ def build_model(cfg):
     if name in DiT_models:
         return DiT_models[name](
             image_size=cfg.image_size, patch_size=cfg.patch_size,
-            in_channels=cfg.in_chans, num_classes=cfg.num_classes,
+            in_channels=cfg.in_chans, num_classes=num_classes,
             learn_sigma=cfg.learn_sigma, learn_align=cfg.learn_align,
             encoder_depth=cfg.encoder_depth,
             class_dropout_prob=cfg.drop_label_prob, z_dims=cfg.z_dims,
@@ -75,7 +91,7 @@ def build_model(cfg):
         return MMDiT(
             image_size=cfg.image_size, patch_size=cfg.patch_size,
             in_channels=cfg.in_chans, hidden_size=32 * depth, depth=depth,
-            num_heads=depth, num_classes=cfg.num_classes,
+            num_heads=depth, num_classes=num_classes,
             learn_sigma=cfg.learn_sigma, learn_align=cfg.learn_align,
             encoder_depth=cfg.encoder_depth, z_dims=(cfg.z_dims,),
             class_dropout_prob=cfg.drop_label_prob,

@@ -290,7 +290,7 @@ class UNetModel(nn.Module):
         attn_block = AttentionBlock
         if self.use_checkpoint:
             res_block = remat_with_policy(ResBlock, self.remat_policy,
-                                          static_argnums=(2,))
+                                          static_argnums=(3,))
             attn_block = remat_with_policy(AttentionBlock, self.remat_policy)
 
         ch = int(self.channel_mult[0] * self.model_channels)
@@ -457,7 +457,7 @@ class EncoderUNetModel(nn.Module):
         res_block, attn_block = ResBlock, AttentionBlock
         if self.use_checkpoint:
             res_block = remat_with_policy(ResBlock, self.remat_policy,
-                                          static_argnums=(2,))
+                                          static_argnums=(3,))
             attn_block = remat_with_policy(AttentionBlock,
                                            self.remat_policy)
 

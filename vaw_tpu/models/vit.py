@@ -159,6 +159,11 @@ class ViTBlock(nn.Module):
             # exact (erf) GELU: the reference uses torch nn.GELU()'s default
             # (models/vit.py:62-80, 190), not the tanh approximation
             act=lambda y: nn.gelu(y, approximate=False),
+            # trunc_normal(0.02) with fc2 depth-rescaled, matching the
+            # reference _init_weights + fix_init_weight pair
+            # (models/vit.py:383-397).
+            kernel_init=trunc_normal_init(0.02),
+            out_kernel_init=trunc_normal_init(0.02 * self.layer_scale),
             dtype=self.dtype,
         )(nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32)(x).astype(self.dtype), deterministic)
         if self.init_values is not None:
@@ -202,7 +207,8 @@ class ViT(nn.Module):
         num_extra = 1 + int(self.num_classes > 0 and y is not None)
         deterministic = not train
 
-        x = PatchEmbed(self.patch_size, self.embed_dim, dtype=self.dtype)(
+        x = PatchEmbed(self.patch_size, self.embed_dim, dtype=self.dtype,
+                       kernel_init=trunc_normal_init(0.02))(
             x.astype(self.dtype)
         )
         n, num_patches, _ = x.shape
@@ -254,7 +260,7 @@ class ViT(nn.Module):
         dpr = np.linspace(0, self.drop_path_rate, self.depth)
         block_cls = (
             remat_with_policy(ViTBlock, self.remat_policy,
-                              static_argnums=(2,))
+                              static_argnums=(3,))
             if self.use_checkpoint else ViTBlock)
         for i in range(self.depth):
             x = block_cls(
