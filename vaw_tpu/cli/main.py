@@ -313,14 +313,24 @@ def _make_sampler(cfg, ctx, ema: bool = True, local: bool = False) -> Sampler:
         # instead of silently producing corrupted "replicated" outputs.
         params = jax.device_get(params)
 
-    def model_fn(p, x, t, **kw):
-        return model.apply({"params": p}, x, t, train=False, **kw)
+    # The Sampler's jit cache is per-instance, and params flow through the
+    # jitted programs as ARGUMENTS (not closure constants) — so reuse ONE
+    # instance per (ema, local) across periodic sample/eval events and swap
+    # the params in. Rebuilding the Sampler each event would re-trace the
+    # full denoising scan every --sample_freq/--eval_step boundary.
+    key = ("_sampler", ema, local)
+    sampler = ctx.get(key)
+    if sampler is None:
+        def model_fn(p, x, t, **kw):
+            return model.apply({"params": p}, x, t, train=False, **kw)
 
-    # params flow through the jitted sampling programs as arguments (not
-    # closure constants) so serialized HLO stays weight-free.
-    return Sampler(cfg, model_fn, diffusion=ctx["sample_diffusion"],
-                   vae_decode_fn=ctx["vae_decode_fn"],
-                   classifier_fn=ctx.get("classifier_fn"), params=params)
+        sampler = Sampler(cfg, model_fn, diffusion=ctx["sample_diffusion"],
+                          vae_decode_fn=ctx["vae_decode_fn"],
+                          classifier_fn=ctx.get("classifier_fn"),
+                          params=params)
+        ctx[key] = sampler
+    sampler.params = params
+    return sampler
 
 
 def generate_samples(cfg, step, ctx, save_grid=False):
