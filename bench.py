@@ -32,10 +32,40 @@ import time
 A100_BASELINE_IMGS_PER_SEC = 1000.0
 
 
+def _require_backend(timeout_s: float = 300.0):
+    """Fail fast when the TPU tunnel is wedged. A half-up tunnel hangs
+    inside backend init (jax.devices() never returns, no exception), which
+    would hang the whole bench run; probe it on a daemon thread so a wedge
+    becomes the honest one-line JSON error instead of a driver timeout."""
+    import threading
+
+    ok = threading.Event()
+    err = []
+
+    def probe():
+        try:
+            import jax
+
+            jax.devices()
+            ok.set()
+        except Exception as e:  # noqa: BLE001 — reported below
+            err.append(e)
+            ok.set()
+
+    threading.Thread(target=probe, daemon=True).start()
+    if not ok.wait(timeout_s):
+        raise RuntimeError(
+            f"backend init did not complete within {timeout_s:.0f}s "
+            "(TPU tunnel wedged?)")
+    if err:
+        raise err[0]
+
+
 def main():
     from vaw_tpu.utils.cache import enable_compilation_cache
 
     enable_compilation_cache()
+    _require_backend()
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -134,7 +164,8 @@ def main():
     # Per-slice device-time breakdown (best-effort): trace 3 steps and
     # aggregate per hlo_category so the ratio above is auditable from this
     # JSON alone (VERDICT r2 next-2 — every remaining slice vs its floor;
-    # see PERF.md "Round-3 flagship slices" for the floor analysis).
+    # the floor analysis is PERF.md "Fully t-major fused flash", remaining-
+    # slices paragraph).
     try:
         import glob
         import tempfile
