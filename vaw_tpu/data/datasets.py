@@ -26,6 +26,7 @@ __all__ = [
     "random_crop_arr",
     "Cifar10Dataset",
     "GaussianDataset",
+    "ShapesDataset",
     "ImageFolderDataset",
     "LatentDataset",
     "LatentWithPixelDataset",
@@ -170,6 +171,84 @@ class GaussianDataset:
         return out
 
 
+class ShapesDataset:
+    """Procedural class-conditional shapes — a learnable, zero-download
+    stand-in for CIFAR-10 in zero-egress environments (the reference's
+    CIFAR default, main.py:43,48, assumes torchvision can download).
+
+    10 classes = 5 shapes (disk, square, triangle, ring, cross) x 2
+    palettes (warm, cool); per-index deterministic position/size/colors on
+    a class-tinted gradient background, anti-aliased, in [-1, 1]. Like
+    GaussianDataset, sample i is a pure function of (seed, i) — resume
+    fast-forward and multi-host disjoint shards stay deterministic."""
+
+    NUM_CLASSES = 10
+
+    def __init__(self, image_size=32, num_classes=10, length=50_000,
+                 seed=0, flip=True):
+        assert 1 <= num_classes <= self.NUM_CLASSES
+        self.image_size = image_size
+        self.num_classes = num_classes
+        self.length = length
+        self.seed = seed
+        self.flip = flip
+        n = image_size
+        self._yy, self._xx = np.mgrid[0:n, 0:n].astype(np.float32) / (n - 1)
+
+    def __len__(self):
+        return self.length
+
+    def _render(self, i: int) -> Tuple[np.ndarray, int]:
+        rs = np.random.RandomState((self.seed * 2_000_003 + i) & 0x7FFFFFFF)
+        label = int(rs.randint(0, self.num_classes))
+        shape, palette = label % 5, label // 5
+        n = self.image_size
+        cx, cy = rs.uniform(0.3, 0.7, 2)
+        r = rs.uniform(0.15, 0.3)
+        if palette == 0:  # warm fg / dark bg
+            fg = np.array([rs.uniform(0.7, 1.0), rs.uniform(0.2, 0.6),
+                           rs.uniform(0.0, 0.3)], np.float32)
+            bg0, bg1 = -0.8, rs.uniform(-0.6, -0.2)
+        else:  # cool fg / light bg
+            fg = np.array([rs.uniform(0.0, 0.3), rs.uniform(0.3, 0.7),
+                           rs.uniform(0.7, 1.0)], np.float32)
+            bg0, bg1 = 0.2, rs.uniform(0.4, 0.8)
+        dx, dy = self._xx - cx, self._yy - cy
+        aa = 1.5 / n  # anti-alias width
+        if shape == 0:  # disk
+            d = np.sqrt(dx * dx + dy * dy) - r
+        elif shape == 1:  # square
+            d = np.maximum(np.abs(dx), np.abs(dy)) - r
+        elif shape == 2:  # triangle (upward)
+            d = np.maximum(dy - r, np.maximum(
+                -dy - r + 2 * np.abs(dx), -dy - r))
+            d = d * 0.5
+        elif shape == 3:  # ring
+            d = np.abs(np.sqrt(dx * dx + dy * dy) - r) - 0.35 * r
+        else:  # cross
+            w = 0.35 * r
+            d = np.minimum(np.maximum(np.abs(dx) - r, np.abs(dy) - w),
+                           np.maximum(np.abs(dy) - r, np.abs(dx) - w))
+        mask = np.clip(0.5 - d / aa, 0.0, 1.0)[..., None]
+        grad = (bg0 + (bg1 - bg0) * self._yy)[..., None]
+        bg = np.repeat(grad, 3, axis=-1).astype(np.float32)
+        img = bg * (1 - mask) + fg * mask
+        if self.flip and rs.rand() < 0.5:
+            img = img[:, ::-1]
+        return np.clip(img, -1.0, 1.0).astype(np.float32), label
+
+    def get_batch(self, idx: np.ndarray) -> Dict[str, np.ndarray]:
+        n = self.image_size
+        imgs = np.empty((len(idx), n, n, 3), np.float32)
+        labels = np.empty((len(idx),), np.int32)
+        for j, i in enumerate(np.asarray(idx)):
+            imgs[j], labels[j] = self._render(int(i))
+        out = {"image": imgs}
+        if self.num_classes > 0:
+            out["label"] = labels
+        return out
+
+
 class ImageFolderDataset:
     """class-subdirectory image folder (CelebA / ImageNet / LSUN exports,
     reference: datasets/data_loader.py:134-196) with the exact ADM crop."""
@@ -185,11 +264,10 @@ class ImageFolderDataset:
         # Parallel JPEG decode + crop: the reference feeds this pipeline
         # with torch DataLoader workers (main.py num_workers); a serial
         # decode of batch_size images starves the TPU step on real folders.
+        # The pool is created lazily (first get_batch) so the dataset object
+        # stays picklable until it is actually used on this process.
         self._pool = None
-        if num_workers and num_workers > 1:
-            from concurrent.futures import ThreadPoolExecutor
-
-            self._pool = ThreadPoolExecutor(max_workers=num_workers)
+        self._num_workers = int(num_workers or 0)
         classes = sorted(
             d for d in os.listdir(root)
             if os.path.isdir(os.path.join(root, d))
@@ -229,12 +307,26 @@ class ImageFolderDataset:
 
     def get_batch(self, idx: np.ndarray) -> Dict[str, np.ndarray]:
         paths = [self.samples[i][0] for i in idx]
+        if self._pool is None and self._num_workers > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            self._pool = ThreadPoolExecutor(max_workers=self._num_workers)
         if self._pool is not None:
             imgs = np.stack(list(self._pool.map(self._load, paths)))
         else:
             imgs = np.stack([self._load(p) for p in paths])
         labels = np.asarray([self.samples[i][1] for i in idx], np.int32)
         return {"image": _normalize(imgs), "label": labels}
+
+    def close(self):
+        if self._pool is not None:
+            self._pool.shutdown(wait=False)
+            self._pool = None
+
+    def __getstate__(self):
+        state = dict(self.__dict__)
+        state["_pool"] = None  # executors don't pickle; recreated lazily
+        return state
 
 
 class LatentDataset:
@@ -505,6 +597,11 @@ def load_dataset(data_dir: str, dataset: str, batch_size: int,
         test = GaussianDataset(image_size=image_size, channels=channels,
                                num_classes=num_classes, length=10_000,
                                seed=1)
+    elif dataset == "Shapes":
+        nc = num_classes or ShapesDataset.NUM_CLASSES
+        train = ShapesDataset(image_size=image_size, num_classes=nc)
+        test = ShapesDataset(image_size=image_size, num_classes=nc,
+                             length=10_000, seed=1, flip=False)
     elif dataset in ("CelebA", "ImageNet", "LSUN"):
         sub = {"CelebA": "celeba", "ImageNet": "train", "LSUN": "lsun"}
         root = os.path.join(data_dir, sub.get(dataset, ""))

@@ -124,7 +124,7 @@ def conv3x3_pallas(x, w, tile_h: int = 8):
         kernel,
         grid=(n, h // tile_h),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((cin, 9 * cout), lambda ni, ii: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
@@ -188,7 +188,7 @@ def conv3x3_wgrad_pallas(x, g, tile_h: int = 8):
         kernel,
         grid=(n, h // tile_h),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((1, tile_h, wd, cout),
                          lambda ni, ii: (ni, ii, 0, 0),
                          memory_space=pltpu.VMEM),

@@ -366,14 +366,26 @@ def flash_attention_packed(qkv, scale=None, d_major_out=False):
 
 def _pick_p5_bb(b: int, h: int, d: int, t: int):
     """Largest batch-block Bb such that (Bb*h) satisfies the Mosaic
-    sublane rule for the [bh, t] lse block and the f32 score/operand
-    tiles fit comfortably in VMEM (<= ~40MB of the 64MB limit)."""
+    sublane rule for the [bh, t] lse block and the kernel's live set
+    fits comfortably in VMEM (<= ~40MB of the 64MB limit).
+
+    Sized off the BACKWARD (_bwd_kernel_p5), the larger of the two
+    programs: d*t-shaped buffers — q/k/v/o/do inputs, the 3-section
+    dqkv output, f32 copies of q/do/o, the f32 dq accumulator, and the
+    per-iteration k/v/kt/vt/dvt/dkt tiles (block_k <= t) — plus the
+    t*t-class f32 score tiles st/p/dp/ds. Counting worst-case 4-byte
+    elements: ~12 d*t buffers and ~4 t*t tiles per row block. The
+    budget is calibrated so the TPU-swept flagship operating point
+    (rows=48, d=64, t=256 -> ~88MB counted; compiles and runs, PERF.md
+    round-3 sweep) sits inside it — the point of the gate is that
+    UNswept larger shapes route to _flash instead of failing Mosaic
+    VMEM allocation at compile time."""
     for bb in (4, 2, 1):
         rows = bb * h
         if b % bb or (rows % 8 and rows != b * h):
             continue
-        est = rows * t * t * 4 * 2 + rows * d * t * 4 * 5
-        if est <= 40 << 20:
+        est = rows * t * t * 4 * 4 + rows * d * t * 4 * 12
+        if est <= 90 << 20:
             return bb
     return None
 

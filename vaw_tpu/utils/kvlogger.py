@@ -96,6 +96,12 @@ class CSVOutputFormat(KVWriter):
         if first:
             self.keys = first.split(",")
         self.file.seek(0, 2)
+        # A crash mid-write can leave a partial last line with no trailing
+        # newline; appending straight onto it would corrupt one record.
+        if self.file.tell() > 0:
+            self.file.seek(self.file.tell() - 1)
+            if self.file.read(1) != "\n":
+                self.file.write("\n")
 
     def writekvs(self, kvs):
         extra = [k for k in kvs if k not in self.keys]
