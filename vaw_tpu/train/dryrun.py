@@ -136,15 +136,23 @@ def dryrun_multichip(n_devices: int) -> None:
 
         # Pipeline parallelism: ('data','stage') mesh over the same devices,
         # real DiT blocks GPipe-pipelined through the FULL train step
-        # (parallel/dit_pipeline.py), checked for dp-equality.
+        # (parallel/dit_pipeline.py). NUMERICAL leg: the step-1 loss and
+        # the post-step params must equal a plain-dp train step of the
+        # SAME model/seed/batch (same microbatch semantics) — a transposed
+        # ppermute in the pipeline's grad path would fail this, not just
+        # finiteness (VERDICT r3 next-7).
         pp_loss, census["pp"] = _dryrun_dit_pipeline(
             devices, cfg, process, batch)
         assert census["pp"]["collective-permute"] > 0, census["pp"]
+        losses["pp"] = pp_loss
 
         # Sequence parallelism: ring-attention DiT on a ('data','sp') mesh
-        # must reproduce the plain forward exactly.
-        census["sp"] = _dryrun_sp_dit(devices)
+        # must reproduce the plain forward exactly AND take a full TRAIN
+        # step (fwd+bwd through the ppermute ring + AdamW) whose loss and
+        # updated params equal the unsharded step (VERDICT r3 next-7).
+        sp_loss, census["sp"] = _dryrun_sp_dit(devices, process)
         assert census["sp"]["collective-permute"] > 0, census["sp"]
+        losses["sp"] = sp_loss
 
     # Hermeticity check: no live buffer may have landed off-CPU.
     non_cpu = {
@@ -162,9 +170,11 @@ def dryrun_multichip(n_devices: int) -> None:
           f"losses={losses} pp_loss={pp_loss:.4f} OK")
 
 
-def _dryrun_sp_dit(devices) -> None:
-    """Forward equality: sequence-parallel (ring attention) DiT vs plain
-    apply on a ('data','sp') mesh (parallel/sp_dit.py)."""
+def _dryrun_sp_dit(devices, process) -> tuple:
+    """Sequence-parallel (ring attention) DiT vs plain apply on a
+    ('data','sp') mesh (parallel/sp_dit.py): forward equality, then a full
+    TRAIN step (loss + gradients through the ppermute ring + AdamW) whose
+    step-1 loss and post-step params must match the unsharded step."""
     from jax.sharding import Mesh
 
     from ..parallel.sp_dit import sequence_parallel_dit_apply
@@ -190,24 +200,68 @@ def _dryrun_sp_dit(devices) -> None:
     out, _ = jitted(variables, x, t, y)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=1e-4, rtol=1e-4)
-    return _collective_census(compiled)
+
+    # --- train-step leg: sp gradient path vs unsharded ----------------- #
+    # drop_label_prob=0 so the sp path's per-data-shard rng fold (sp_dit.py
+    # body) has nothing to diverge on; all other rng streams (t, noise,
+    # q_sample) are identical through the shared Trainer seed.
+    cfg = TrainConfig(
+        model="DiT-S", image_size=16, in_chans=4, patch_size=2,
+        num_classes=10, class_cond=True, batch_size=4 * dp,
+        weight_type="lambda", mean_type="EPSILON", drop_label_prob=0.0,
+        grad_accumulation=1, amp=False,
+    )
+    batch = {
+        "image": jnp.asarray(rs.randn(cfg.batch_size, 16, 16, 4),
+                             jnp.float32),
+        "label": jnp.arange(cfg.batch_size) % 10,
+    }
+    plain_mesh = make_mesh(data_axis=len(devices), model_axis=1,
+                           devices=devices)
+    results = {}
+    for label, m, afn in (("plain", plain_mesh, None),
+                          ("sp", mesh, apply_fn)):
+        with m:
+            tr = Trainer(cfg, model, process, m, apply_fn=afn)
+            state = tr.init_state(jax.random.key(7), batch)
+            sharded = shard_batch(m, batch)
+            state, metrics = tr.step(state, sharded)
+            jax.block_until_ready(metrics["loss"])
+            results[label] = (
+                float(metrics["loss"]),
+                jax.device_get(state.params),
+            )
+    sp_loss, sp_params = results["sp"]
+    plain_loss, plain_params = results["plain"]
+    assert abs(sp_loss - plain_loss) < 1e-4, (sp_loss, plain_loss)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(a, b, atol=1e-4, rtol=1e-4),
+        sp_params, plain_params)
+    return sp_loss, _collective_census(compiled)
 
 
 def _dryrun_dit_pipeline(devices, cfg, process, batch) -> float:
     """Full train step with real DiT blocks pipelined over a
-    ('data','stage') mesh; the step-1 loss must match the dp run (the same
-    model/math, different orchestration)."""
+    ('data','stage') mesh. The step-1 loss AND the post-step params must
+    equal a plain-dp train step of the SAME model/seed/batch (same
+    microbatch semantics: pipelining only reorders the forward, the loss
+    is computed over the reassembled full batch) — this catches gradient
+    bugs in the ppermute fill-drain, not just non-finiteness."""
     from ..parallel.dit_pipeline import pipelined_dit_apply
     from ..parallel.mesh import make_pp_mesh
 
     stages = 4 if len(devices) >= 4 else 2
     mesh = make_pp_mesh(stages, devices=devices)
+    # drop_label_prob=0 for the equality legs: the pipelined apply and the
+    # plain apply consume the label-dropout rng through different shard
+    # structures, so any nonzero dropout would diverge by design.
     run_cfg = replace(cfg, pp_stages=stages, pp_microbatches=2,
-                      scan_blocks=True, grad_accumulation=1)
+                      scan_blocks=True, grad_accumulation=1,
+                      drop_label_prob=0.0)
     model = DiT(
         image_size=cfg.image_size, patch_size=2, in_channels=4,
         hidden_size=64, depth=stages * 2, num_heads=2, num_classes=10,
-        class_dropout_prob=0.1, scan_blocks=True,
+        class_dropout_prob=0.0, scan_blocks=True,
     )
     apply_fn = pipelined_dit_apply(model, mesh, 2, batch_axis="data")
     with mesh:
@@ -227,18 +281,33 @@ def _dryrun_dit_pipeline(devices, cfg, process, batch) -> float:
         loss = float(metrics["loss"])
         assert np.isfinite(loss), loss
         assert int(state.step) == 1
+        pp_params = jax.device_get(state.params)
 
-        # dp-equality on the forward: the pipelined model (different depth
-        # from the dp model above, so loss differs; equality is asserted
-        # against its own plain apply instead).
+        # Forward equality against the plain apply on the SAME params.
         x = batch["image"][..., :4]
         t = jnp.zeros((x.shape[0],), jnp.float32)
         y = batch["label"]
-        ref, _ = model.apply({"params": jax.device_get(state.params)},
-                             x, t, y)
+        ref, _ = model.apply({"params": pp_params}, x, t, y)
         out, _ = jax.jit(
             lambda v, x, t, y: apply_fn(v, x, t, y)
         )({"params": state.params}, x, t, y)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    atol=1e-4, rtol=1e-4)
+
+    # Plain-dp train step: same model, same init key, same batch, no
+    # pipeline — the losses and the updated params must coincide.
+    plain_mesh = make_mesh(data_axis=len(devices), model_axis=1,
+                           devices=devices)
+    plain_cfg = replace(run_cfg, pp_stages=1, pp_microbatches=0)
+    with plain_mesh:
+        ptr = Trainer(plain_cfg, model, process, plain_mesh)
+        pstate = ptr.init_state(jax.random.key(0), batch)
+        psharded = shard_batch(plain_mesh, batch)
+        pstate, pmetrics = ptr.step(pstate, psharded)
+        jax.block_until_ready(pmetrics["loss"])
+        plain_loss = float(pmetrics["loss"])
+    assert abs(loss - plain_loss) < 1e-4, (loss, plain_loss)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(a, b, atol=1e-4, rtol=1e-4),
+        pp_params, jax.device_get(pstate.params))
     return loss, census
