@@ -42,8 +42,8 @@ def find_inception_pb() -> Optional[str]:
     return None
 
 
-def _maybe_download() -> Optional[str]:
-    path = "/tmp/classify_image_graph_def.pb"
+def _maybe_download(path: str = "/tmp/classify_image_graph_def.pb"
+                    ) -> Optional[str]:
     try:
         import requests
 
