@@ -251,3 +251,30 @@ def test_image_folder_parallel_decode_matches_serial(tmp_path):
     bp = par.get_batch(np.arange(6))
     np.testing.assert_array_equal(bs["image"], bp["image"])
     np.testing.assert_array_equal(bs["label"], bp["label"])
+
+
+def test_shapes_dataset_deterministic_and_learnable():
+    """Procedural Shapes (the zero-egress CIFAR stand-in for on-hardware
+    e2e runs): per-index determinism (resume fast-forward requirement),
+    [-1,1] range, and per-class visual separation (it must be learnable,
+    not noise)."""
+    from vaw_tpu.data.datasets import ShapesDataset, load_dataset
+
+    ds = ShapesDataset(image_size=32)
+    b1 = ds.get_batch(np.arange(128))
+    b2 = ds.get_batch(np.arange(128))
+    np.testing.assert_array_equal(b1["image"], b2["image"])
+    img, lab = b1["image"], b1["label"]
+    assert img.shape == (128, 32, 32, 3) and img.dtype == np.float32
+    assert img.min() >= -1.0 and img.max() <= 1.0
+    assert set(np.unique(lab)) <= set(range(10))
+    means = np.stack([img[lab == c].mean(axis=(0, 1, 2))
+                      for c in range(10) if (lab == c).any()])
+    assert means.std() > 0.1  # classes are visually distinct
+
+    train, test = load_dataset("", "Shapes", batch_size=16, image_size=32)
+    batch = next(iter(train))
+    assert batch["image"].shape == (16, 32, 32, 3)
+    assert "label" in batch
+    tb = next(iter(test))  # test split: different seed, no flip
+    assert not np.array_equal(tb["image"], batch["image"])

@@ -198,8 +198,8 @@ def _add_common_args(p: argparse.ArgumentParser, defaults: dict):
     p.add_argument("--eval", default=d.eval, type=str2bool)
     p.add_argument("--data_dir", type=str, default=d.data_dir)
     p.add_argument("--dataset", type=str, default=d.dataset,
-                   choices=["CIFAR-10", "Gaussian", "CelebA", "ImageNet",
-                            "LSUN", "Latent", "Latent_Pixel"])
+                   choices=["CIFAR-10", "Gaussian", "Shapes", "CelebA",
+                            "ImageNet", "LSUN", "Latent", "Latent_Pixel"])
     p.add_argument("--patch_size", type=int, default=d.patch_size)
     p.add_argument("--in_chans", type=int, default=d.in_chans)
     p.add_argument("--image_size", type=int, default=d.image_size)
