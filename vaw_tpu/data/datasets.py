@@ -198,52 +198,63 @@ class ShapesDataset:
     def __len__(self):
         return self.length
 
-    def _render(self, i: int) -> Tuple[np.ndarray, int]:
+    def _params(self, i: int):
+        """Per-index deterministic draw (pure function of (seed, i))."""
         rs = np.random.RandomState((self.seed * 2_000_003 + i) & 0x7FFFFFFF)
         label = int(rs.randint(0, self.num_classes))
-        shape, palette = label % 5, label // 5
-        n = self.image_size
+        palette = label // 5
         cx, cy = rs.uniform(0.3, 0.7, 2)
         r = rs.uniform(0.15, 0.3)
         if palette == 0:  # warm fg / dark bg
-            fg = np.array([rs.uniform(0.7, 1.0), rs.uniform(0.2, 0.6),
-                           rs.uniform(0.0, 0.3)], np.float32)
+            fg = (rs.uniform(0.7, 1.0), rs.uniform(0.2, 0.6),
+                  rs.uniform(0.0, 0.3))
             bg0, bg1 = -0.8, rs.uniform(-0.6, -0.2)
         else:  # cool fg / light bg
-            fg = np.array([rs.uniform(0.0, 0.3), rs.uniform(0.3, 0.7),
-                           rs.uniform(0.7, 1.0)], np.float32)
+            fg = (rs.uniform(0.0, 0.3), rs.uniform(0.3, 0.7),
+                  rs.uniform(0.7, 1.0))
             bg0, bg1 = 0.2, rs.uniform(0.4, 0.8)
-        dx, dy = self._xx - cx, self._yy - cy
-        aa = 1.5 / n  # anti-alias width
-        if shape == 0:  # disk
-            d = np.sqrt(dx * dx + dy * dy) - r
-        elif shape == 1:  # square
-            d = np.maximum(np.abs(dx), np.abs(dy)) - r
-        elif shape == 2:  # triangle (upward)
-            d = np.maximum(dy - r, np.maximum(
-                -dy - r + 2 * np.abs(dx), -dy - r))
-            d = d * 0.5
-        elif shape == 3:  # ring
-            d = np.abs(np.sqrt(dx * dx + dy * dy) - r) - 0.35 * r
-        else:  # cross
-            w = 0.35 * r
-            d = np.minimum(np.maximum(np.abs(dx) - r, np.abs(dy) - w),
-                           np.maximum(np.abs(dy) - r, np.abs(dx) - w))
-        mask = np.clip(0.5 - d / aa, 0.0, 1.0)[..., None]
-        grad = (bg0 + (bg1 - bg0) * self._yy)[..., None]
-        bg = np.repeat(grad, 3, axis=-1).astype(np.float32)
-        img = bg * (1 - mask) + fg * mask
-        if self.flip and rs.rand() < 0.5:
-            img = img[:, ::-1]
-        return np.clip(img, -1.0, 1.0).astype(np.float32), label
+        flip = bool(self.flip and rs.rand() < 0.5)
+        return label, cx, cy, r, fg, bg0, bg1, flip
 
     def get_batch(self, idx: np.ndarray) -> Dict[str, np.ndarray]:
+        # Param draws stay a per-index loop (determinism contract); the
+        # pixel math is vectorized over the whole batch — ~15x faster than
+        # per-image rendering, enough to stay ahead of a TPU train step
+        # behind the double-buffered prefetch.
         n = self.image_size
-        imgs = np.empty((len(idx), n, n, 3), np.float32)
-        labels = np.empty((len(idx),), np.int32)
+        b = len(idx)
+        labels = np.empty((b,), np.int32)
+        cx = np.empty((b, 1, 1), np.float32)
+        cy = np.empty_like(cx)
+        r = np.empty_like(cx)
+        fg = np.empty((b, 1, 1, 3), np.float32)
+        bg0 = np.empty_like(cx)
+        bg1 = np.empty_like(cx)
+        flips = np.empty((b,), bool)
         for j, i in enumerate(np.asarray(idx)):
-            imgs[j], labels[j] = self._render(int(i))
-        out = {"image": imgs}
+            labels[j], cx[j], cy[j], r[j], fg[j, 0, 0], bg0[j], bg1[j], \
+                flips[j] = self._params(int(i))
+
+        dx = self._xx[None] - cx
+        dy = self._yy[None] - cy
+        adx, ady = np.abs(dx), np.abs(dy)
+        rad = np.sqrt(dx * dx + dy * dy)
+        d_all = np.stack([
+            rad - r,                                         # disk
+            np.maximum(adx, ady) - r,                        # square
+            0.5 * np.maximum(dy - r, np.maximum(             # triangle
+                -dy - r + 2 * adx, -dy - r)),
+            np.abs(rad - r) - 0.35 * r,                      # ring
+            np.minimum(np.maximum(adx - r, ady - 0.35 * r),  # cross
+                       np.maximum(ady - r, adx - 0.35 * r)),
+        ])
+        d = d_all[labels % 5, np.arange(b)]
+        aa = 1.5 / n  # anti-alias width
+        mask = np.clip(0.5 - d / aa, 0.0, 1.0)[..., None]
+        bg = (bg0 + (bg1 - bg0) * self._yy[None])[..., None]
+        imgs = (bg * (1 - mask) + fg * mask).astype(np.float32)
+        imgs[flips] = imgs[flips, :, ::-1]
+        out = {"image": np.clip(imgs, -1.0, 1.0, out=imgs)}
         if self.num_classes > 0:
             out["label"] = labels
         return out
