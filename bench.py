@@ -61,6 +61,7 @@ def _wait_for_backend(max_wait_s=1800.0, probe_timeout_s=270.0,
     attempt = 0
     while True:
         attempt += 1
+        t_probe = time.monotonic()
         try:
             r = subprocess.run(
                 [sys.executable, "-c", PROBE_SRC],
@@ -78,10 +79,15 @@ def _wait_for_backend(max_wait_s=1800.0, probe_timeout_s=270.0,
             raise RuntimeError(
                 f"no TPU backend after {attempt} probes over "
                 f"{max_wait_s / 60:.0f} min; last: {reason}")
+        # Cadence is probe-START to probe-start: a hung probe already
+        # consumed most of retry_every_s, so discount its elapsed time —
+        # otherwise the stated 5-min cadence silently becomes ~9.5 min
+        # and the window fits 4 probes instead of 6.
+        probe_elapsed = time.monotonic() - t_probe
+        sleep_s = min(max(0.0, retry_every_s - probe_elapsed), remaining)
         _log(f"[bench] probe {attempt} failed ({reason}); retrying in "
-             f"{min(retry_every_s, remaining):.0f}s "
-             f"({remaining / 60:.0f} min left in window)")
-        time.sleep(min(retry_every_s, remaining))
+             f"{sleep_s:.0f}s ({remaining / 60:.0f} min left in window)")
+        time.sleep(sleep_s)
 
 
 def _require_backend(timeout_s=300.0):
@@ -350,20 +356,32 @@ def main():
     enable_compilation_cache()
     _require_backend()
 
-    extra = []
-    flagship = bench_flagship_dit()
-    _log(f"[bench] flagship: {json.dumps(flagship)}")
-    for name, fn in (
-        ("unet64_train_imgs_per_sec_chip", bench_unet64_train),
-        ("edm_18step_sampler_imgs_per_sec_g1", lambda: bench_edm_sampler(1.0)),
-        ("edm_18step_sampler_imgs_per_sec_g1.5",
-         lambda: bench_edm_sampler(1.5)),
-    ):
+    def guarded(name, fn, has_baseline):
+        # One bad leg must not zero the rest — including the flagship
+        # (a flagship-only compile/OOM failure should still record the
+        # UNet-64 and sampler rows). Error rows keep vs_baseline null for
+        # the sampler legs: the reference publishes no sampler baseline,
+        # and a fake 0.0 ratio would skew round-over-round comparisons.
         try:
-            row = fn()
-        except Exception as e:  # noqa: BLE001 — one bad leg must not zero the rest
-            row = {"metric": name, "value": 0.0, "vs_baseline": 0.0,
-                   "error": f"{type(e).__name__}: {e}"[:300]}
+            return fn()
+        except Exception as e:  # noqa: BLE001 — isolate per leg
+            unit = "imgs/sec/chip" if has_baseline else "imgs/sec"
+            return {"metric": name, "value": 0.0, "unit": unit,
+                    "vs_baseline": 0.0 if has_baseline else None,
+                    "error": f"{type(e).__name__}: {e}"[:300]}
+
+    flagship = guarded("dit_b2_latent_train_imgs_per_sec_chip",
+                       bench_flagship_dit, True)
+    _log(f"[bench] flagship: {json.dumps(flagship)}")
+    extra = []
+    for name, fn, has_baseline in (
+        ("unet64_train_imgs_per_sec_chip", bench_unet64_train, True),
+        ("edm_18step_sampler_imgs_per_sec_g1",
+         lambda: bench_edm_sampler(1.0), False),
+        ("edm_18step_sampler_imgs_per_sec_g1.5",
+         lambda: bench_edm_sampler(1.5), False),
+    ):
+        row = guarded(name, fn, has_baseline)
         _log(f"[bench] {name}: {json.dumps(row)}")
         extra.append(row)
     flagship["metrics"] = extra

@@ -63,7 +63,7 @@ def main():
 
     stat_ref = compute_statistics(pool_features(ref))
     stat_s = compute_statistics(pool_features(samples))
-    fid = FIDStatistics(stat_ref.mu, stat_ref.sigma).frechet_distance(stat_s)
+    fid = stat_ref.frechet_distance(stat_s)
     print(f"fid_proxy={fid:.4f} n_sample={len(samples)} n_ref={n_ref}",
           flush=True)
 

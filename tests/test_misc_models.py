@@ -73,6 +73,30 @@ def test_kvlogger_formats(tmp_path):
     logger.close()
 
 
+def test_csv_resume_partial_line(tmp_path):
+    """Crash-mid-write recovery: an ASCII partial tail is terminated; a
+    tail that split a multi-byte UTF-8 character is DROPPED (it would
+    otherwise poison every later text-mode read); clean files untouched."""
+    from vaw_tpu.utils.kvlogger import CSVOutputFormat
+
+    p = tmp_path / "multibyte.csv"
+    p.write_bytes("a,b\n1,2\n3,µ".encode()[:-1])  # truncated mid-µ
+    w = CSVOutputFormat(str(p)); w.writekvs({"a": 5, "b": 6}); w.close()
+    assert p.read_text().splitlines() == ["a,b", "1,2", "5,6"]
+
+    p = tmp_path / "ascii.csv"
+    p.write_bytes(b"a,b\n1,2\n3,")
+    w = CSVOutputFormat(str(p)); w.writekvs({"a": 7, "b": 8}); w.close()
+    assert p.read_text().splitlines() == ["a,b", "1,2", "3,", "7,8"]
+
+    p = tmp_path / "clean.csv"
+    p.write_text("a,unit\n1,µs\n", encoding="utf-8")
+    w = CSVOutputFormat(str(p)); w.writekvs({"a": 2, "unit": "µs"})
+    w.close()
+    assert p.read_text(encoding="utf-8").splitlines() == [
+        "a,unit", "1,µs", "2,µs"]
+
+
 def test_profile_kv(tmp_path):
     kvlogger.configure(str(tmp_path), formats=("json",))
     with kvlogger.profile_kv("data"):

@@ -219,12 +219,25 @@ def _dryrun_sp_dit(devices, process) -> tuple:
     plain_mesh = make_mesh(data_axis=len(devices), model_axis=1,
                            devices=devices)
     results = {}
+    sp_step_census = None
     for label, m, afn in (("plain", plain_mesh, None),
                           ("sp", mesh, apply_fn)):
         with m:
             tr = Trainer(cfg, model, process, m, apply_fn=afn)
             state = tr.init_state(jax.random.key(7), batch)
             sharded = shard_batch(m, batch)
+            if label == "sp":
+                # Census the TRAIN step's own HLO, not just the
+                # forward-only compile above: if the partitioner lowered
+                # the sp apply inside the step as replication, the
+                # loss/param equality asserts below would pass vacuously
+                # with no gradient ring ever executing.
+                rng = jax.random.fold_in(tr.base_rng, state.step)
+                sp_step_census = _collective_census(
+                    tr.jitted_step.lower(state, sharded, rng).compile())
+                assert sp_step_census["collective-permute"] > 0, (
+                    "sp train step compiled without a ppermute ring",
+                    sp_step_census)
             state, metrics = tr.step(state, sharded)
             jax.block_until_ready(metrics["loss"])
             results[label] = (
@@ -237,7 +250,12 @@ def _dryrun_sp_dit(devices, process) -> tuple:
     jax.tree_util.tree_map(
         lambda a, b: np.testing.assert_allclose(a, b, atol=1e-4, rtol=1e-4),
         sp_params, plain_params)
-    return sp_loss, _collective_census(compiled)
+    # The forward-only program must also carry the ring (it is what the
+    # samplers consume); the returned census is the TRAIN step's — the
+    # stronger statement the caller asserts on.
+    fwd_census = _collective_census(compiled)
+    assert fwd_census["collective-permute"] > 0, fwd_census
+    return sp_loss, sp_step_census
 
 
 def _dryrun_dit_pipeline(devices, cfg, process, batch) -> float:

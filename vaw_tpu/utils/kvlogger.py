@@ -88,6 +88,35 @@ class CSVOutputFormat(KVWriter):
     def __init__(self, path: str):
         self.path = path
         self.keys: List[str] = []
+        # A crash mid-write can leave a partial last line with no trailing
+        # newline; appending straight onto it would corrupt one record.
+        # Probe and repair in BINARY mode: text-mode tell() cookies are not
+        # byte offsets, and reading a single byte that lands inside a
+        # multi-byte UTF-8 character raises UnicodeDecodeError — on exactly
+        # the resume-after-crash path this guard protects.
+        try:
+            with open(path, "rb+") as fb:
+                fb.seek(0, 2)
+                size = fb.tell()
+                if size:
+                    fb.seek(-1, 2)
+                    if fb.read(1) != b"\n":
+                        # Inspect the partial tail (bounded scan back to
+                        # the previous newline): terminate it if it is
+                        # valid text, DROP it if the crash split a
+                        # multi-byte UTF-8 character — an undecodable byte
+                        # poisons every later text-mode read of the file
+                        # (header seeding, the extend-columns rewrite).
+                        back = min(size, 1 << 16)
+                        fb.seek(size - back)
+                        tail = fb.read(back).rsplit(b"\n", 1)[-1]
+                        try:
+                            tail.decode("utf-8")
+                            fb.write(b"\n")
+                        except UnicodeDecodeError:
+                            fb.truncate(size - len(tail))
+        except FileNotFoundError:
+            pass
         self.file = open(path, "a+")
         # Seed keys from an existing header so appending to a resumed CSV
         # extends columns instead of rewriting the header over old rows.
@@ -96,12 +125,6 @@ class CSVOutputFormat(KVWriter):
         if first:
             self.keys = first.split(",")
         self.file.seek(0, 2)
-        # A crash mid-write can leave a partial last line with no trailing
-        # newline; appending straight onto it would corrupt one record.
-        if self.file.tell() > 0:
-            self.file.seek(self.file.tell() - 1)
-            if self.file.read(1) != "\n":
-                self.file.write("\n")
 
     def writekvs(self, kvs):
         extra = [k for k in kvs if k not in self.keys]
