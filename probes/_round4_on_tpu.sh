@@ -11,15 +11,18 @@ cd "$(dirname "$0")/.."
 out=/tmp/r4_tpu
 mkdir -p "$out"
 
-echo "=== 1. round-3 A/B sweep ==="
-bash probes/_round3_tpu_sweep.sh 2>&1 | tail -40
-
-echo "=== 2. multi-metric bench ==="
+# Bench FIRST: if the tunnel is only briefly up, the multi-metric bench
+# capture (the round's official record, VERDICT r3 next-1) must not be
+# starved by ~40 min of sweep legs.
+echo "=== 1. multi-metric bench ==="
 # bench.py's own worst case is ~30 min of backend-retry before the four
 # legs even start (each with a 20-60s compile); 3000s would SIGTERM it
 # mid-benchmark on a slow tunnel and leave an empty bench.json.
 timeout 5400 python bench.py > "$out/bench.json" 2> "$out/bench.log"
 cat "$out/bench.json"
+
+echo "=== 2. round-3 A/B sweep ==="
+bash probes/_round3_tpu_sweep.sh 2>&1 | tail -40
 
 echo "=== 3. e2e train on chip: ADM-32 / Shapes ==="
 logdir="$out/e2e"
