@@ -1,0 +1,75 @@
+"""bench.py leg isolation: the driver's official record must degrade
+per-leg, never wholesale (VERDICT r3 weak-1/weak-3).
+
+These tests monkeypatch the leg functions — no TPU needed — and assert the
+JSON contract: a flagship-only failure still records the UNet-64/EDM rows,
+error rows keep vs_baseline null for the baseline-less sampler metrics,
+and the one-line stdout artifact always parses.
+"""
+
+import contextlib
+import io
+import json
+
+import pytest
+
+
+@pytest.fixture()
+def patched_bench(monkeypatch):
+    import bench
+    from vaw_tpu.utils import cache
+
+    monkeypatch.setattr(bench, "_wait_for_backend", lambda *a, **k: None)
+    monkeypatch.setattr(bench, "_require_backend", lambda *a, **k: None)
+    monkeypatch.setattr(cache, "enable_compilation_cache", lambda: None)
+    monkeypatch.setattr(bench, "bench_unet64_train", lambda: {
+        "metric": "unet64_train_imgs_per_sec_chip", "value": 150.0,
+        "vs_baseline": 0.566, "unit": "imgs/sec/chip"})
+    monkeypatch.setattr(bench, "bench_edm_sampler", lambda g, batch=128: {
+        "metric": f"edm_18step_sampler_imgs_per_sec_g{g:g}", "value": 90.0,
+        "vs_baseline": None, "unit": "imgs/sec"})
+    monkeypatch.setattr(bench, "bench_flagship_dit", lambda: {
+        "metric": "dit_b2_latent_train_imgs_per_sec_chip", "value": 1000.0,
+        "vs_baseline": 1.0, "unit": "imgs/sec/chip"})
+    return bench
+
+
+def _run_main(bench):
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        bench.main()
+    lines = [ln for ln in buf.getvalue().splitlines() if ln.strip()]
+    assert len(lines) == 1, lines  # the driver contract: ONE JSON line
+    return json.loads(lines[0])
+
+
+def test_all_legs_green(patched_bench):
+    out = _run_main(patched_bench)
+    assert out["value"] == 1000.0 and out["vs_baseline"] == 1.0
+    assert [m["value"] for m in out["metrics"]] == [150.0, 90.0, 90.0]
+
+
+def test_flagship_failure_keeps_other_legs(patched_bench, monkeypatch):
+    def boom():
+        raise ValueError("boom")
+
+    monkeypatch.setattr(patched_bench, "bench_flagship_dit", boom)
+    out = _run_main(patched_bench)
+    assert out["value"] == 0.0 and "boom" in out["error"]
+    assert out["vs_baseline"] == 0.0  # flagship HAS a baseline
+    assert out["unit"] == "imgs/sec/chip"
+    # the other three legs were still attempted and recorded
+    assert [m["value"] for m in out["metrics"]] == [150.0, 90.0, 90.0]
+
+
+def test_sampler_failure_keeps_null_baseline(patched_bench, monkeypatch):
+    def boom(g, batch=128):
+        raise ValueError("boom")
+
+    monkeypatch.setattr(patched_bench, "bench_edm_sampler", boom)
+    out = _run_main(patched_bench)
+    assert out["value"] == 1000.0
+    assert out["metrics"][0]["value"] == 150.0  # unet leg unaffected
+    for row in out["metrics"][1:]:
+        # baseline-less metric: an error row must NOT invent a 0.0 ratio
+        assert row["value"] == 0.0 and row["vs_baseline"] is None
