@@ -12,13 +12,17 @@ out=/tmp/r4_cpu_e2e
 mkdir -p "$out"
 logdir="$out/logs"
 
-VAW_PLATFORM=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+# Single CPU device: the virtual-mesh sharding evidence already lives in
+# the dryrun; this run's purpose is the full CLI loop with a trending
+# metric, and on the 1-core box batch 64 over an 8-shard mesh ran at
+# 13-17 s/step (~5 h) — batch 32 single-device is ~2x faster per step.
+VAW_PLATFORM=cpu \
 timeout 10800 python -u main.py \
   --dataset Shapes --model DiT-S --image_size 16 --patch_size 2 \
-  --in_chans 3 --num_classes 10 --class_cond True --batch_size 64 \
-  --total_steps 1200 --warmup_steps 50 --lr 3e-4 \
-  --sample_freq 300 --sample_steps 50 --diffusion_steps 1000 \
-  --save_step 1200 --eval False --amp False --solver ddim \
+  --in_chans 3 --num_classes 10 --class_cond True --batch_size 32 \
+  --total_steps 800 --warmup_steps 50 --lr 3e-4 \
+  --sample_freq 200 --sample_steps 50 --diffusion_steps 1000 \
+  --save_step 800 --eval False --amp False --solver ddim \
   --logdir "$logdir" --weight_type lambda --mean_type EPSILON \
   --sample_size 64 --num_samples 64 \
   > "$out/train.log" 2>&1
