@@ -38,6 +38,7 @@ process initialize the backend (guarded by a daemon-thread watchdog).
 
 import json
 import os
+import signal
 import subprocess
 import sys
 import time
@@ -51,6 +52,42 @@ PROBE_SRC = "import jax; d = jax.devices(); assert d"
 
 def _log(msg):
     print(msg, file=sys.stderr, flush=True)
+
+
+# Best-so-far result, updated after every completed leg. A driver timeout
+# (SIGTERM) mid-run emits this instead of nothing: the record keeps every
+# leg that finished, preserving the one-JSON-line stdout contract
+# (VERDICT r4 weak-6: "one tunnel flap mid-window still eats the round's
+# record with no partial salvage below the leg level").
+_PARTIAL = None
+_EMITTED = False
+
+
+def _emit(result) -> None:
+    global _EMITTED
+    if _EMITTED:
+        return
+    _EMITTED = True
+    print(json.dumps(result), flush=True)
+
+
+def _install_sigterm_salvage() -> None:
+    def handler(signum, frame):  # noqa: ARG001 — signal signature
+        res = _PARTIAL or {
+            "metric": "dit_b2_latent_train_imgs_per_sec_chip",
+            "value": 0.0, "unit": "imgs/sec/chip", "vs_baseline": 0.0,
+            "error": f"killed by signal {signum} before any leg finished",
+        }
+        if "error" not in res:
+            res = dict(res, partial=f"killed by signal {signum}")
+        _emit(res)
+        os._exit(0)
+
+    for sig in (signal.SIGTERM, signal.SIGINT):
+        try:
+            signal.signal(sig, handler)
+        except (ValueError, OSError):  # non-main thread / exotic platform
+            pass
 
 
 def _wait_for_backend(max_wait_s=1800.0, probe_timeout_s=270.0,
@@ -350,6 +387,9 @@ def bench_edm_sampler(guidance, batch=128):
 
 
 def main():
+    global _PARTIAL, _EMITTED
+    _PARTIAL, _EMITTED = None, False  # reset: tests call main() repeatedly
+    _install_sigterm_salvage()
     _wait_for_backend()
     from vaw_tpu.utils.cache import enable_compilation_cache
 
@@ -374,6 +414,8 @@ def main():
                        bench_flagship_dit, True)
     _log(f"[bench] flagship: {json.dumps(flagship)}")
     extra = []
+    flagship["metrics"] = extra
+    _PARTIAL = flagship  # extra legs append in place; salvage sees them
     for name, fn, has_baseline in (
         ("unet64_train_imgs_per_sec_chip", bench_unet64_train, True),
         ("edm_18step_sampler_imgs_per_sec_g1",
@@ -384,19 +426,18 @@ def main():
         row = guarded(name, fn, has_baseline)
         _log(f"[bench] {name}: {json.dumps(row)}")
         extra.append(row)
-    flagship["metrics"] = extra
-    print(json.dumps(flagship))
+    _emit(flagship)
 
 
 if __name__ == "__main__":
     try:
         main()
     except Exception as e:  # noqa: BLE001 — the driver needs one JSON line even on failure
-        print(json.dumps({
+        _emit({
             "metric": "dit_b2_latent_train_imgs_per_sec_chip",
             "value": 0.0,
             "unit": "imgs/sec/chip",
             "vs_baseline": 0.0,
             "error": f"{type(e).__name__}: {e}"[:300],
-        }))
+        })
         sys.exit(0)

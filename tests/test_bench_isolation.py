@@ -10,6 +10,11 @@ and the one-line stdout artifact always parses.
 import contextlib
 import io
 import json
+import os
+import signal
+import subprocess
+import sys
+import time
 
 import pytest
 
@@ -60,6 +65,53 @@ def test_flagship_failure_keeps_other_legs(patched_bench, monkeypatch):
     assert out["unit"] == "imgs/sec/chip"
     # the other three legs were still attempted and recorded
     assert [m["value"] for m in out["metrics"]] == [150.0, 90.0, 90.0]
+
+
+def test_sigterm_mid_run_salvages_finished_legs():
+    """A driver timeout (SIGTERM) mid-run must still emit ONE JSON line
+    carrying every leg that finished (VERDICT r4 weak-6) — in a subprocess
+    because the salvage handler exits the process."""
+    code = r"""
+import sys, time
+import bench
+from vaw_tpu.utils import cache
+bench._wait_for_backend = lambda *a, **k: None
+bench._require_backend = lambda *a, **k: None
+cache.enable_compilation_cache = lambda: None
+bench.bench_flagship_dit = lambda: {
+    "metric": "dit_b2_latent_train_imgs_per_sec_chip", "value": 1000.0,
+    "vs_baseline": 1.0, "unit": "imgs/sec/chip"}
+def hang():
+    print("HANGING", file=sys.stderr, flush=True)
+    time.sleep(300)
+bench.bench_unet64_train = hang
+bench.main()
+"""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    p = subprocess.Popen(
+        [sys.executable, "-c", code], cwd=repo, text=True,
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+    )
+    try:
+        deadline = time.monotonic() + 60
+        while time.monotonic() < deadline:
+            line = p.stderr.readline()
+            if "HANGING" in line:  # flagship done, unet leg is stuck
+                break
+        else:
+            raise AssertionError("subprocess never reached the hung leg")
+        p.send_signal(signal.SIGTERM)
+        out, _ = p.communicate(timeout=30)
+    finally:
+        if p.poll() is None:
+            p.kill()
+    assert p.returncode == 0
+    lines = [ln for ln in out.splitlines() if ln.strip()]
+    assert len(lines) == 1, lines  # still exactly ONE JSON line
+    rec = json.loads(lines[0])
+    assert rec["value"] == 1000.0  # the finished flagship leg survived
+    assert "signal" in rec.get("partial", "")
+    assert "error" not in rec
 
 
 def test_sampler_failure_keeps_null_baseline(patched_bench, monkeypatch):

@@ -241,7 +241,6 @@ def test_inception_download_fallback_logic(tmp_path, monkeypatch):
     monkeypatch.setitem(sys.modules, "requests", fake)
     monkeypatch.chdir(tmp_path)  # keep /tmp pb pollution out of discovery
     target = str(tmp_path / "classify_image_graph_def.pb")
-    monkeypatch.setattr(inception, "_DOWNLOAD_PATH", target, raising=False)
 
     got = inception._maybe_download(path=target)
     assert got == target and os.path.exists(target)

@@ -388,7 +388,13 @@ def _pick_p5_bb(b: int, h: int, d: int, t: int):
         if b % bb or (rows % 8 and rows != b * h):
             continue
         est = rows * t * t * 4 * 4 + rows * d * t * 4 * 12
-        if est <= 90 << 20:
+        # Admit only up to the exact counted bytes of the hardware-
+        # validated operating point (rows=48, d=64, t=256 -> 88,080,384;
+        # PERF.md round-3 sweep): a round 90MB budget admitted unswept
+        # shapes in the 88-90MB band with no evidence they compile, and a
+        # Mosaic VMEM failure there is a hard compile error, not a
+        # fallback. Raise only with a new swept point.
+        if est <= 48 * (256 * 256 * 16 + 64 * 256 * 48):
             return bb
     return None
 

@@ -3,10 +3,22 @@
 Validates the SPMD design (dp x tp shardings, collectives, donated state)
 without real multi-chip hardware — the driver runs this with
 xla_force_host_platform_device_count virtual CPU devices.
+
+Driver-budget contract (VERDICT r4 next-1): every leg prints
+`[leg] <name> start` / `[leg] <name> done <elapsed>s` so a timeout names
+its culprit; partial results (census, losses) are printed as each leg
+completes so a kill still leaves the core record in the tail; and an
+env-tunable budget (VAW_DRYRUN_BUDGET_S, default 420 s) skips the optional
+numerical-equality legs rather than letting the whole run be killed. Core
+legs (dp+tp, dp+tp+fsdp censuses + loss equality) always run.
 """
 
 from __future__ import annotations
 
+import json
+import os
+import time
+from contextlib import contextmanager
 from dataclasses import replace
 
 import jax
@@ -26,6 +38,22 @@ __all__ = ["dryrun_multichip"]
 _COLLECTIVES = ("all-reduce", "reduce-scatter", "all-gather",
                 "collective-permute")
 
+_T0 = None  # wall-clock origin, set by dryrun_multichip
+
+
+def _elapsed() -> float:
+    return time.monotonic() - _T0
+
+
+@contextmanager
+def _leg(name: str):
+    """Per-leg telemetry: a timeout kill mid-leg leaves `start` without
+    `done` in the tail, naming the culprit (MULTICHIP_r04 could not)."""
+    print(f"[leg] {name} start t+{_elapsed():.0f}s", flush=True)
+    t = time.monotonic()
+    yield
+    print(f"[leg] {name} done {time.monotonic() - t:.0f}s", flush=True)
+
 
 def _collective_census(compiled) -> dict:
     """Count collective ops in compiled (post-SPMD-partitioner) HLO — the
@@ -43,7 +71,13 @@ def _collective_census(compiled) -> dict:
 def dryrun_multichip(n_devices: int) -> None:
     """Build an n-device ('data','model') mesh, jit the full training step
     (q_sample -> weighting -> DiT fwd/bwd -> AdamW -> EMA) with real dp+tp
-    shardings, and execute ONE step on tiny shapes."""
+    shardings, and execute ONE step on tiny shapes. Then validate the pp
+    (GPipe fill-drain) and sp (ring attention) train steps numerically
+    against one shared plain-dp baseline."""
+    global _T0
+    _T0 = time.monotonic()
+    budget = float(os.environ.get("VAW_DRYRUN_BUDGET_S", "420"))
+
     # Always run on the CPU backend: the dryrun validates SPMD logic on
     # virtual devices and must never touch a real chip (a wedged libtpu
     # would otherwise kill it). __graft_entry__ pins jax_platforms=cpu
@@ -96,63 +130,113 @@ def dryrun_multichip(n_devices: int) -> None:
         census = {}
         # Two sharding regimes over the same mesh: dp x tp with replicated
         # state, and dp x tp with ZeRO-3 param/opt-state sharding (fsdp).
+        # These are the CORE legs — they always run.
         for label, fsdp in (("dp+tp", False), ("dp+tp+fsdp", True)):
-            run_cfg = replace(cfg, fsdp=fsdp)
-            with mesh:
-                trainer = Trainer(run_cfg, model, process, mesh)
-                state = trainer.init_state(jax.random.key(0), batch)
-                sharded = shard_batch(mesh, batch)
-                # Compile first and census the lowered HLO: the step must
-                # actually contain the expected collectives, not silently
-                # replicate.
-                compiled = trainer.jitted_step.lower(
-                    state, sharded, jax.random.key(0)).compile()
-                census[label] = _collective_census(compiled)
-                if n_devices > 1:
-                    assert census[label]["all-reduce"] > 0, (
-                        label, census[label])  # dp grad sync / tp row sums
-                if fsdp:
-                    # ZeRO-3 must re-gather sharded params for compute ...
-                    assert census[label]["all-gather"] > 0, (
-                        label, census[label])
-                    # ... and scatter grads to shards. The CPU SPMD
-                    # partitioner often lowers reduce-scatter as
-                    # all-reduce + dynamic-slice, so accept either form.
-                    assert (census[label]["reduce-scatter"] > 0
-                            or census[label]["all-reduce"] > 0), (
-                        label, census[label])
-                state, metrics = trainer.step(state, sharded)
-                jax.block_until_ready(metrics["loss"])
-                loss = float(metrics["loss"])
-                assert np.isfinite(loss), (label, loss)
-                assert int(state.step) == 1
-                losses[label] = loss
+            with _leg(label):
+                run_cfg = replace(cfg, fsdp=fsdp)
+                with mesh:
+                    trainer = Trainer(run_cfg, model, process, mesh)
+                    state = trainer.init_state(jax.random.key(0), batch)
+                    sharded = shard_batch(mesh, batch)
+                    # Compile first and census the lowered HLO: the step
+                    # must actually contain the expected collectives, not
+                    # silently replicate.
+                    compiled = trainer.jitted_step.lower(
+                        state, sharded, jax.random.key(0)).compile()
+                    census[label] = _collective_census(compiled)
+                    if n_devices > 1:
+                        assert census[label]["all-reduce"] > 0, (
+                            label, census[label])  # dp grad sync / tp rows
+                    if fsdp:
+                        # ZeRO-3 must re-gather sharded params for compute
+                        assert census[label]["all-gather"] > 0, (
+                            label, census[label])
+                        # ... and scatter grads to shards. The CPU SPMD
+                        # partitioner often lowers reduce-scatter as
+                        # all-reduce + dynamic-slice, so accept either.
+                        assert (census[label]["reduce-scatter"] > 0
+                                or census[label]["all-reduce"] > 0), (
+                            label, census[label])
+                    state, metrics = trainer.step(state, sharded)
+                    jax.block_until_ready(metrics["loss"])
+                    loss = float(metrics["loss"])
+                    assert np.isfinite(loss), (label, loss)
+                    assert int(state.step) == 1
+                    losses[label] = loss
+                print(f"[partial] {label}: loss={loss:.4f} "
+                      f"census={json.dumps(census[label])}", flush=True)
         # Both regimes compute the same math; shardings must not change it.
         assert abs(losses["dp+tp"] - losses["dp+tp+fsdp"]) < 1e-3, losses
         # The ZeRO-3 signature: fsdp adds param re-gathers over the plain
         # dp+tp program.
         assert (census["dp+tp+fsdp"]["all-gather"]
                 > census["dp+tp"]["all-gather"]), census
+        print(f"[partial] CORE OK: dp+tp/fsdp loss equality "
+              f"{losses['dp+tp']:.4f} t+{_elapsed():.0f}s", flush=True)
 
-        # Pipeline parallelism: ('data','stage') mesh over the same devices,
-        # real DiT blocks GPipe-pipelined through the FULL train step
-        # (parallel/dit_pipeline.py). NUMERICAL leg: the step-1 loss and
-        # the post-step params must equal a plain-dp train step of the
-        # SAME model/seed/batch (same microbatch semantics) — a transposed
-        # ppermute in the pipeline's grad path would fail this, not just
-        # finiteness (VERDICT r3 next-7).
-        pp_loss, census["pp"] = _dryrun_dit_pipeline(
-            devices, cfg, process, batch)
-        assert census["pp"]["collective-permute"] > 0, census["pp"]
-        losses["pp"] = pp_loss
+        # ---- optional numerical-equality legs (pp, sp) ----------------- #
+        # One SHARED tiny scanned model + plain-dp baseline serves both: pp
+        # and sp test collective structure (fill-drain ppermute, ring
+        # attention), not model size, so the model is as small as the mesh
+        # divisibility allows and the plain-dp train step compiles ONCE.
+        skipped = []
+        if _elapsed() > budget:
+            skipped += ["plain-baseline", "pp", "sp"]
+            print(f"[leg] pp/sp SKIPPED: t+{_elapsed():.0f}s > budget "
+                  f"{budget:.0f}s (VAW_DRYRUN_BUDGET_S)", flush=True)
+            pp_loss = losses["dp+tp"]
+        else:
+            shared_model = DiT(
+                image_size=8, patch_size=2, in_channels=4, hidden_size=32,
+                depth=4, num_heads=2, num_classes=10,
+                class_dropout_prob=0.0, scan_blocks=True,
+            )
+            # drop_label_prob=0 for the equality legs: the pipelined/sp
+            # applies consume the label-dropout rng through different shard
+            # structures, so any nonzero dropout would diverge by design.
+            shared_cfg = replace(
+                cfg, image_size=8, batch_size=8, grad_accumulation=1,
+                drop_label_prob=0.0, scan_blocks=True,
+            )
+            rs = np.random.RandomState(3)
+            shared_batch = {
+                "image": jnp.asarray(rs.randn(8, 8, 8, 4), jnp.float32),
+                "label": jnp.arange(8) % 10,
+            }
+            with _leg("plain-baseline"):
+                plain_loss, plain_params = _plain_step(
+                    devices, shared_cfg, shared_model, process, shared_batch)
+            print(f"[partial] plain-baseline: loss={plain_loss:.4f}",
+                  flush=True)
 
-        # Sequence parallelism: ring-attention DiT on a ('data','sp') mesh
-        # must reproduce the plain forward exactly AND take a full TRAIN
-        # step (fwd+bwd through the ppermute ring + AdamW) whose loss and
-        # updated params equal the unsharded step (VERDICT r3 next-7).
-        sp_loss, census["sp"] = _dryrun_sp_dit(devices, process)
-        assert census["sp"]["collective-permute"] > 0, census["sp"]
-        losses["sp"] = sp_loss
+            pp_loss = plain_loss
+            if _elapsed() > budget:
+                skipped.append("pp")
+                print(f"[leg] pp SKIPPED: over budget", flush=True)
+            else:
+                with _leg("pp"):
+                    pp_loss, census["pp"] = _dryrun_dit_pipeline(
+                        devices, shared_cfg, shared_model, process,
+                        shared_batch, plain_loss, plain_params)
+                    assert census["pp"]["collective-permute"] > 0, (
+                        census["pp"])
+                    losses["pp"] = pp_loss
+                print(f"[partial] pp: loss={pp_loss:.4f} == plain "
+                      f"census={json.dumps(census['pp'])}", flush=True)
+
+            if _elapsed() > budget:
+                skipped.append("sp")
+                print(f"[leg] sp SKIPPED: over budget", flush=True)
+            else:
+                with _leg("sp"):
+                    sp_loss, census["sp"] = _dryrun_sp_dit(
+                        devices, shared_cfg, shared_model, process,
+                        shared_batch, plain_loss, plain_params)
+                    assert census["sp"]["collective-permute"] > 0, (
+                        census["sp"])
+                    losses["sp"] = sp_loss
+                print(f"[partial] sp: loss={losses['sp']:.4f} == plain "
+                      f"census={json.dumps(census['sp'])}", flush=True)
 
     # Hermeticity check: no live buffer may have landed off-CPU.
     non_cpu = {
@@ -162,147 +246,130 @@ def dryrun_multichip(n_devices: int) -> None:
         if d.platform != "cpu"
     }
     assert not non_cpu, f"dryrun leaked buffers to non-CPU backends: {non_cpu}"
-    import json as _json
 
-    print("collective census:", _json.dumps(census))
+    print("collective census:", json.dumps(census))
+    if skipped:
+        print(f"skipped legs (budget {budget:.0f}s): {skipped}")
     print(f"dryrun_multichip({n_devices}): mesh="
           f"{dict(zip(mesh.axis_names, mesh.devices.shape))} "
-          f"losses={losses} pp_loss={pp_loss:.4f} OK")
+          f"losses={losses} pp_loss={pp_loss:.4f} "
+          f"total={_elapsed():.0f}s OK")
 
 
-def _dryrun_sp_dit(devices, process) -> tuple:
+def _plain_step(devices, cfg, model, process, batch):
+    """One plain-dp train step of the shared tiny model — the single
+    numerical baseline both the pp and sp legs compare against (loss AND
+    post-step params), compiled once instead of once per leg."""
+    plain_mesh = make_mesh(data_axis=len(devices), model_axis=1,
+                           devices=devices)
+    plain_cfg = replace(cfg, pp_stages=1, pp_microbatches=0)
+    with plain_mesh:
+        tr = Trainer(plain_cfg, model, process, plain_mesh)
+        state = tr.init_state(jax.random.key(0), batch)
+        sharded = shard_batch(plain_mesh, batch)
+        state, metrics = tr.step(state, sharded)
+        jax.block_until_ready(metrics["loss"])
+        return float(metrics["loss"]), jax.device_get(state.params)
+
+
+def _assert_step_matches(loss, params, plain_loss, plain_params, label):
+    assert abs(loss - plain_loss) < 1e-4, (label, loss, plain_loss)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(a, b, atol=1e-4, rtol=1e-4),
+        params, plain_params)
+
+
+def _dryrun_sp_dit(devices, cfg, model, process, batch,
+                   plain_loss, plain_params) -> tuple:
     """Sequence-parallel (ring attention) DiT vs plain apply on a
     ('data','sp') mesh (parallel/sp_dit.py): forward equality, then a full
     TRAIN step (loss + gradients through the ppermute ring + AdamW) whose
-    step-1 loss and post-step params must match the unsharded step."""
+    step-1 loss and post-step params must match the shared plain baseline."""
     from jax.sharding import Mesh
 
     from ..parallel.sp_dit import sequence_parallel_dit_apply
 
-    sp = 4 if len(devices) >= 8 else 2
+    grid = model.image_size // model.patch_size
+    sp = grid if grid <= 4 else 4
     dp = max(len(devices) // sp, 1)
     mesh = Mesh(np.array(devices[: dp * sp]).reshape(dp, sp),
                 ("data", "sp"))
-    model = DiT(image_size=16, patch_size=2, in_channels=4, hidden_size=32,
-                depth=2, num_heads=2, num_classes=10,
-                class_dropout_prob=0.0)
-    rs = np.random.RandomState(3)
-    x = jnp.asarray(rs.randn(2 * dp, 16, 16, 4), jnp.float32)
-    t = jnp.zeros((2 * dp,), jnp.float32)
-    y = jnp.arange(2 * dp) % 10
-    variables = model.init(
-        {"params": jax.random.key(0), "label_dropout": jax.random.key(1)},
-        x, t, y)
-    ref, _ = model.apply(variables, x, t, y)
     apply_fn = sequence_parallel_dit_apply(model, mesh, batch_axis="data")
+
+    # Forward equality on the baseline's own post-step params.
+    x = batch["image"]
+    t = jnp.zeros((x.shape[0],), jnp.float32)
+    y = batch["label"]
+    ref, _ = model.apply({"params": plain_params}, x, t, y)
     jitted = jax.jit(lambda v, x, t, y: apply_fn(v, x, t, y))
-    compiled = jitted.lower(variables, x, t, y).compile()
-    out, _ = jitted(variables, x, t, y)
+    compiled = jitted.lower({"params": plain_params}, x, t, y).compile()
+    out, _ = jitted({"params": plain_params}, x, t, y)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=1e-4, rtol=1e-4)
-
-    # --- train-step leg: sp gradient path vs unsharded ----------------- #
-    # drop_label_prob=0 so the sp path's per-data-shard rng fold (sp_dit.py
-    # body) has nothing to diverge on; all other rng streams (t, noise,
-    # q_sample) are identical through the shared Trainer seed.
-    cfg = TrainConfig(
-        model="DiT-S", image_size=16, in_chans=4, patch_size=2,
-        num_classes=10, class_cond=True, batch_size=4 * dp,
-        weight_type="lambda", mean_type="EPSILON", drop_label_prob=0.0,
-        grad_accumulation=1, amp=False,
-    )
-    batch = {
-        "image": jnp.asarray(rs.randn(cfg.batch_size, 16, 16, 4),
-                             jnp.float32),
-        "label": jnp.arange(cfg.batch_size) % 10,
-    }
-    plain_mesh = make_mesh(data_axis=len(devices), model_axis=1,
-                           devices=devices)
-    results = {}
-    sp_step_census = None
-    for label, m, afn in (("plain", plain_mesh, None),
-                          ("sp", mesh, apply_fn)):
-        with m:
-            tr = Trainer(cfg, model, process, m, apply_fn=afn)
-            state = tr.init_state(jax.random.key(7), batch)
-            sharded = shard_batch(m, batch)
-            if label == "sp":
-                # Census the TRAIN step's own HLO, not just the
-                # forward-only compile above: if the partitioner lowered
-                # the sp apply inside the step as replication, the
-                # loss/param equality asserts below would pass vacuously
-                # with no gradient ring ever executing.
-                rng = jax.random.fold_in(tr.base_rng, state.step)
-                sp_step_census = _collective_census(
-                    tr.jitted_step.lower(state, sharded, rng).compile())
-                assert sp_step_census["collective-permute"] > 0, (
-                    "sp train step compiled without a ppermute ring",
-                    sp_step_census)
-            state, metrics = tr.step(state, sharded)
-            jax.block_until_ready(metrics["loss"])
-            results[label] = (
-                float(metrics["loss"]),
-                jax.device_get(state.params),
-            )
-    sp_loss, sp_params = results["sp"]
-    plain_loss, plain_params = results["plain"]
-    assert abs(sp_loss - plain_loss) < 1e-4, (sp_loss, plain_loss)
-    jax.tree_util.tree_map(
-        lambda a, b: np.testing.assert_allclose(a, b, atol=1e-4, rtol=1e-4),
-        sp_params, plain_params)
-    # The forward-only program must also carry the ring (it is what the
-    # samplers consume); the returned census is the TRAIN step's — the
-    # stronger statement the caller asserts on.
+    # The forward-only program must carry the ring (it is what the
+    # samplers consume).
     fwd_census = _collective_census(compiled)
     assert fwd_census["collective-permute"] > 0, fwd_census
+
+    # --- train-step leg: sp gradient path vs the shared baseline -------- #
+    with mesh:
+        tr = Trainer(cfg, model, process, mesh, apply_fn=apply_fn)
+        state = tr.init_state(jax.random.key(0), batch)
+        sharded = shard_batch(mesh, batch)
+        # Census the TRAIN step's own HLO, not just the forward-only
+        # compile above: if the partitioner lowered the sp apply inside
+        # the step as replication, the loss/param equality asserts below
+        # would pass vacuously with no gradient ring ever executing.
+        rng = jax.random.fold_in(tr.base_rng, state.step)
+        sp_step_census = _collective_census(
+            tr.jitted_step.lower(state, sharded, rng).compile())
+        assert sp_step_census["collective-permute"] > 0, (
+            "sp train step compiled without a ppermute ring",
+            sp_step_census)
+        state, metrics = tr.step(state, sharded)
+        jax.block_until_ready(metrics["loss"])
+        sp_loss = float(metrics["loss"])
+        _assert_step_matches(sp_loss, jax.device_get(state.params),
+                             plain_loss, plain_params, "sp")
     return sp_loss, sp_step_census
 
 
-def _dryrun_dit_pipeline(devices, cfg, process, batch) -> float:
+def _dryrun_dit_pipeline(devices, cfg, model, process, batch,
+                         plain_loss, plain_params) -> tuple:
     """Full train step with real DiT blocks pipelined over a
     ('data','stage') mesh. The step-1 loss AND the post-step params must
-    equal a plain-dp train step of the SAME model/seed/batch (same
-    microbatch semantics: pipelining only reorders the forward, the loss
-    is computed over the reassembled full batch) — this catches gradient
-    bugs in the ppermute fill-drain, not just non-finiteness."""
+    equal the shared plain-dp baseline (same model/seed/batch; pipelining
+    only reorders the forward, the loss is computed over the reassembled
+    full batch) — this catches gradient bugs in the ppermute fill-drain,
+    not just non-finiteness."""
     from ..parallel.dit_pipeline import pipelined_dit_apply
     from ..parallel.mesh import make_pp_mesh
 
     stages = 4 if len(devices) >= 4 else 2
+    assert model.depth % stages == 0, (model.depth, stages)
     mesh = make_pp_mesh(stages, devices=devices)
-    # drop_label_prob=0 for the equality legs: the pipelined apply and the
-    # plain apply consume the label-dropout rng through different shard
-    # structures, so any nonzero dropout would diverge by design.
-    run_cfg = replace(cfg, pp_stages=stages, pp_microbatches=2,
-                      scan_blocks=True, grad_accumulation=1,
-                      drop_label_prob=0.0)
-    model = DiT(
-        image_size=cfg.image_size, patch_size=2, in_channels=4,
-        hidden_size=64, depth=stages * 2, num_heads=2, num_classes=10,
-        class_dropout_prob=0.0, scan_blocks=True,
-    )
+    run_cfg = replace(cfg, pp_stages=stages, pp_microbatches=2)
     apply_fn = pipelined_dit_apply(model, mesh, 2, batch_axis="data")
     with mesh:
         trainer = Trainer(run_cfg, model, process, mesh, apply_fn=apply_fn)
         state = trainer.init_state(jax.random.key(0), batch)
-        sharded0 = shard_batch(mesh, batch)
+        sharded = shard_batch(mesh, batch)
         census = _collective_census(trainer.jitted_step.lower(
-            state, sharded0, jax.random.key(0)).compile())
+            state, sharded, jax.random.key(0)).compile())
         # The block stack must actually shard over 'stage'.
         block_leaf = state.params["ScanBlocks"]["DiTBlock_0"][
             "Mlp_0"]["Dense_0"]["kernel"]
         assert "stage" in jax.tree_util.tree_leaves(
             tuple(block_leaf.sharding.spec)), block_leaf.sharding
-        sharded = shard_batch(mesh, batch)
         state, metrics = trainer.step(state, sharded)
         jax.block_until_ready(metrics["loss"])
         loss = float(metrics["loss"])
-        assert np.isfinite(loss), loss
         assert int(state.step) == 1
         pp_params = jax.device_get(state.params)
+        _assert_step_matches(loss, pp_params, plain_loss, plain_params, "pp")
 
         # Forward equality against the plain apply on the SAME params.
-        x = batch["image"][..., :4]
+        x = batch["image"]
         t = jnp.zeros((x.shape[0],), jnp.float32)
         y = batch["label"]
         ref, _ = model.apply({"params": pp_params}, x, t, y)
@@ -311,21 +378,4 @@ def _dryrun_dit_pipeline(devices, cfg, process, batch) -> float:
         )({"params": state.params}, x, t, y)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    atol=1e-4, rtol=1e-4)
-
-    # Plain-dp train step: same model, same init key, same batch, no
-    # pipeline — the losses and the updated params must coincide.
-    plain_mesh = make_mesh(data_axis=len(devices), model_axis=1,
-                           devices=devices)
-    plain_cfg = replace(run_cfg, pp_stages=1, pp_microbatches=0)
-    with plain_mesh:
-        ptr = Trainer(plain_cfg, model, process, plain_mesh)
-        pstate = ptr.init_state(jax.random.key(0), batch)
-        psharded = shard_batch(plain_mesh, batch)
-        pstate, pmetrics = ptr.step(pstate, psharded)
-        jax.block_until_ready(pmetrics["loss"])
-        plain_loss = float(pmetrics["loss"])
-    assert abs(loss - plain_loss) < 1e-4, (loss, plain_loss)
-    jax.tree_util.tree_map(
-        lambda a, b: np.testing.assert_allclose(a, b, atol=1e-4, rtol=1e-4),
-        pp_params, jax.device_get(pstate.params))
     return loss, census

@@ -107,9 +107,18 @@ class CSVOutputFormat(KVWriter):
                         # multi-byte UTF-8 character — an undecodable byte
                         # poisons every later text-mode read of the file
                         # (header seeding, the extend-columns rewrite).
+                        # Widen the window until it contains a newline (or
+                        # the whole file): a >64KB partial line, or a window
+                        # boundary splitting a multi-byte character in an
+                        # otherwise-valid tail, must not truncate mid-line.
                         back = min(size, 1 << 16)
-                        fb.seek(size - back)
-                        tail = fb.read(back).rsplit(b"\n", 1)[-1]
+                        while True:
+                            fb.seek(size - back)
+                            buf = fb.read(back)
+                            if b"\n" in buf or back == size:
+                                break
+                            back = min(size, back + (1 << 16))
+                        tail = buf.rsplit(b"\n", 1)[-1]
                         try:
                             tail.decode("utf-8")
                             fb.write(b"\n")
