@@ -430,6 +430,7 @@ def test_fused_upsample_conv_module_param_tree(monkeypatch):
     assert sorted(v["params"].keys()) == [
         "Conv_0", "Conv_1", "Dense_0", "GroupNorm32_0", "GroupNorm32_1"]
     assert v["params"]["Conv_0"]["kernel"].shape == (3, 3, 8, 8)
+    monkeypatch.setenv("VAW_FUSED_UPSAMPLE", "1")  # opt-in since round 5
     fused = m.apply(v, x, emb)
     monkeypatch.setenv("VAW_FUSED_UPSAMPLE", "0")
     unfused = m.apply(v, x, emb)

@@ -318,8 +318,10 @@ class FusedUpsampleConv(nn.Module):
     (ops/upsample_conv.py — exact rewrite, 2.25x fewer MACs, no 4x-size
     upsampled intermediate in HBM). Param names/shapes/init identical to
     the nn.Conv it replaces (kernel [3,3,Cin,Cout] lecun-normal, bias
-    zeros), so checkpoints interoperate; VAW_FUSED_UPSAMPLE=0 falls back
-    to the unfused upsample-then-conv lowering."""
+    zeros), so checkpoints interoperate. OPT-IN via VAW_FUSED_UPSAMPLE=1:
+    the round-5 on-TPU A/B measured the fused lowering 10.7% slower on the
+    256px VAE decode (phase de-stack formatting outweighs the MAC saving)
+    and neutral on ADM-64 — see fused_upsample_conv_enabled()."""
 
     features: int
     dtype: jnp.dtype = jnp.float32

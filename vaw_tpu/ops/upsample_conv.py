@@ -40,8 +40,19 @@ __all__ = [
 
 
 def fused_upsample_conv_enabled() -> bool:
-    """Kill switch (VAW_FUSED_UPSAMPLE=0) for the fused phase-conv path."""
-    return os.environ.get("VAW_FUSED_UPSAMPLE", "1") == "1"
+    """Opt-in switch (VAW_FUSED_UPSAMPLE=1) for the fused phase-conv path.
+
+    Default OFF: the round-5 on-TPU A/B (probes/_r5_decode_ab.py, v5e,
+    6-trial wall + profiler device time) measured the fused path 10.7%
+    SLOWER on the SD-VAE 256px decode (492 vs 444 device ms/batch-128) —
+    the 2.25x MAC saving (conv 430 -> 368 ms) is more than repaid by the
+    phase de-stack's data-formatting cost (+124 ms) — and neutral on the
+    ADM-64 train step (358.1 vs 359.7 ms/step). PERF.md "Fused nearest-2x
+    upsample" has the full table. The rewrite stays available (exact in
+    values and gradients, tests/test_ops.py) for shapes where the balance
+    may differ.
+    """
+    return os.environ.get("VAW_FUSED_UPSAMPLE", "0") == "1"
 
 
 def upsample_nearest2x(x):
