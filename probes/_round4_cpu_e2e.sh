@@ -16,6 +16,9 @@ logdir="$out/logs"
 # the dryrun; this run's purpose is the full CLI loop with a trending
 # metric, and on the 1-core box batch 64 over an 8-shard mesh ran at
 # 13-17 s/step (~5 h) — batch 32 single-device is ~2x faster per step.
+# --ema_decay 0.99: sampling uses EMA params; at the default 0.9999 an
+# 800-step run's EMA is 92% random init (0.9999^800) and the grids score
+# worse than noise on the FID proxy (measured round 5 on-chip).
 VAW_PLATFORM=cpu \
 timeout 10800 python -u main.py \
   --dataset Shapes --model DiT-S --image_size 16 --patch_size 2 \
@@ -24,7 +27,7 @@ timeout 10800 python -u main.py \
   --sample_freq 200 --sample_steps 50 --diffusion_steps 1000 \
   --save_step 800 --eval False --amp False --solver ddim \
   --logdir "$logdir" --weight_type lambda --mean_type EPSILON \
-  --sample_size 64 --num_samples 64 \
+  --sample_size 64 --num_samples 64 --ema_decay 0.99 \
   > "$out/train.log" 2>&1
 echo "train rc=$?; tail:"; tail -3 "$out/train.log"
 

@@ -25,6 +25,10 @@ echo "=== 2. round-3 A/B sweep ==="
 bash probes/_round3_tpu_sweep.sh 2>&1 | tail -40
 
 echo "=== 3. e2e train on chip: ADM-32 / Shapes ==="
+# --ema_decay 0.99: in-train sampling uses EMA params (reference
+# semantics); at the default 0.9999 a 3000-step demo's EMA is still 74%
+# random init (0.9999^3000) and every grid scores worse than noise on the
+# FID proxy — measured round 5. 0.99^3000 ~ 0, so grids track the model.
 logdir="$out/e2e"
 timeout 7200 python -u main.py \
   --dataset Shapes --model ADM-32 --image_size 32 --in_chans 3 \
@@ -33,7 +37,7 @@ timeout 7200 python -u main.py \
   --sample_freq 500 --sample_steps 50 --diffusion_steps 1000 \
   --save_step 3000 --eval False --amp True --solver ddim \
   --logdir "$logdir" --weight_type lambda --mean_type EPSILON \
-  --sample_size 64 --num_samples 64 \
+  --sample_size 64 --num_samples 64 --ema_decay 0.99 \
   > "$out/e2e_train.log" 2>&1
 echo "train rc=$?; tail:"; tail -5 "$out/e2e_train.log"
 

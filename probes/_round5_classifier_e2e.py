@@ -76,6 +76,10 @@ def main(out: str) -> None:
         "--logdir", logdir, "--weight_type", "lambda",
         "--mean_type", "EPSILON", "--sample_size", str(N_SAMPLES),
         "--num_samples", str(N_SAMPLES), "--drop_label_prob", "0.0",
+        # sample.py loads EMA params; at the default 0.9999 a 400-step
+        # run's EMA is ~96% random init (round-5 on-chip lesson) — 0.99
+        # makes the checkpoint's EMA track the trained model.
+        "--ema_decay", "0.99",
     ])
     t0 = time.time()
     ctx = init(cfg)
