@@ -87,6 +87,13 @@ class Evaluator:
 
 def main():
     """(reference: evaluations/evaluator.py:28-61)"""
+    # The GraphDef->JAX inception backend is a ~2000-op XLA program: a cold
+    # compile costs 6-7 min on a small host (measured round 5, both CPU and
+    # through the TPU tunnel). The persistent cache makes repeat CLI
+    # invocations warm, same as the train/sample entry points.
+    from ..utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     parser = argparse.ArgumentParser()
     parser.add_argument("ref_batch", help="path to reference batch npz file")
     parser.add_argument("sample_batch", help="path to sample batch npz file")
