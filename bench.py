@@ -386,6 +386,36 @@ def bench_edm_sampler(guidance, batch=128):
     }
 
 
+def _run_with_wall_limit(fn, limit_s):
+    """Run a leg on a daemon thread with a hard wall limit.
+
+    A mid-leg tunnel wedge blocks *inside* a device readback (observed
+    round 5: transfers that never materialize while fresh ops still work),
+    which no in-thread exception can interrupt. Timing the leg out from
+    here converts the wedge into an error row so the remaining legs still
+    get their shot; the blocked thread is daemonic and holds no lock the
+    other legs need (blocked readbacks release the GIL)."""
+    import threading
+
+    box = {}
+
+    def runner():
+        try:
+            box["result"] = fn()
+        except BaseException as e:  # noqa: BLE001 — re-raised in caller
+            box["error"] = e
+
+    th = threading.Thread(target=runner, daemon=True)
+    th.start()
+    th.join(limit_s)
+    if th.is_alive():
+        raise TimeoutError(
+            f"leg exceeded {limit_s:.0f}s wall limit (tunnel wedge?)")
+    if "error" in box:
+        raise box["error"]
+    return box["result"]
+
+
 def main():
     global _PARTIAL, _EMITTED
     _PARTIAL, _EMITTED = None, False  # reset: tests call main() repeatedly
@@ -395,6 +425,11 @@ def main():
 
     enable_compilation_cache()
     _require_backend()
+    # Worst case per leg: cold compile through the tunnel (minutes) + the
+    # timed steps + the best-effort trace. 1200 s each keeps all four legs
+    # inside the driver's 5400 s agenda window even if one leg burns its
+    # full limit.
+    leg_limit_s = float(os.environ.get("VAW_BENCH_LEG_TIMEOUT_S", "1200"))
 
     def guarded(name, fn, has_baseline):
         # One bad leg must not zero the rest — including the flagship
@@ -403,7 +438,7 @@ def main():
         # the sampler legs: the reference publishes no sampler baseline,
         # and a fake 0.0 ratio would skew round-over-round comparisons.
         try:
-            return fn()
+            return _run_with_wall_limit(fn, leg_limit_s)
         except Exception as e:  # noqa: BLE001 — isolate per leg
             unit = "imgs/sec/chip" if has_baseline else "imgs/sec"
             return {"metric": name, "value": 0.0, "unit": unit,

@@ -114,6 +114,29 @@ bench.main()
     assert "error" not in rec
 
 
+def test_hung_leg_times_out_and_later_legs_still_run(patched_bench,
+                                                     monkeypatch):
+    """A leg wedged inside a device readback (round-5 observed tunnel
+    failure mode) must be converted to an error row by the per-leg wall
+    limit instead of hanging the whole record, and the legs after it must
+    still be attempted."""
+    monkeypatch.setenv("VAW_BENCH_LEG_TIMEOUT_S", "0.5")
+
+    def hang():
+        time.sleep(60)
+
+    monkeypatch.setattr(patched_bench, "bench_unet64_train", hang)
+    t0 = time.monotonic()
+    out = _run_main(patched_bench)
+    assert time.monotonic() - t0 < 30  # did not wait out the hang
+    assert out["value"] == 1000.0  # flagship unaffected
+    unet = out["metrics"][0]
+    assert unet["value"] == 0.0 and "wall limit" in unet["error"]
+    assert unet["vs_baseline"] == 0.0  # unet HAS a baseline
+    # the two sampler legs after the hung one were still attempted
+    assert [m["value"] for m in out["metrics"][1:]] == [90.0, 90.0]
+
+
 def test_sampler_failure_keeps_null_baseline(patched_bench, monkeypatch):
     def boom(g, batch=128):
         raise ValueError("boom")
