@@ -17,7 +17,7 @@ convention trainer.py:21-25 / sampler.py:249-255.
 
 Usage:
   python probes/_latent_space_proxy.py <latents.h5> <ckpt> [n=512] \
-      [latent_scale=3.3818] -- [extra CLI flags matching the train run]
+      [latent_scale=3.3818] [ddim_steps=50]
 """
 import os
 import sys
@@ -38,6 +38,7 @@ def main():
     h5_path, ckpt = sys.argv[1], sys.argv[2]
     n = int(sys.argv[3]) if len(sys.argv) > 3 else 512
     scale = float(sys.argv[4]) if len(sys.argv) > 4 else 3.3818
+    steps = sys.argv[5] if len(sys.argv) > 5 else "50"
 
     import h5py
     import jax
@@ -55,7 +56,7 @@ def main():
         "--dataset", "Latent", "--model", "DiT-S", "--image_size", "32",
         "--in_chans", "4", "--num_classes", "10", "--class_cond", "True",
         "--mean_type", "EPSILON", "--diffusion_steps", "1000",
-        "--sample_steps", "50", "--latent_scale", str(scale),
+        "--sample_steps", steps, "--latent_scale", str(scale),
         "--resume", ckpt,
     ])
     mesh = make_mesh(data_axis=cfg.data_axis, model_axis=cfg.model_axis)
