@@ -67,11 +67,28 @@ def _emit(result) -> None:
     global _EMITTED
     if _EMITTED:
         return
-    _EMITTED = True
-    print(json.dumps(result), flush=True)
+    # Block the salvage signals across the flag+print pair: a SIGTERM
+    # landing between `_EMITTED = True` and the print would otherwise make
+    # the handler's _emit a no-op and os._exit with NO line written (or a
+    # torn line if it landed mid-write). Blocked signals are delivered
+    # after the restore, when _EMITTED is already set.
+    try:
+        prev_mask = signal.pthread_sigmask(
+            signal.SIG_BLOCK, {signal.SIGTERM, signal.SIGINT})
+    except (AttributeError, ValueError, OSError):
+        prev_mask = None  # non-main thread / exotic platform
+    try:
+        _EMITTED = True
+        print(json.dumps(result), flush=True)
+    finally:
+        if prev_mask is not None:
+            signal.pthread_sigmask(signal.SIG_SETMASK, prev_mask)
 
 
-def _install_sigterm_salvage() -> None:
+def _install_sigterm_salvage():
+    """Install the salvage handlers; returns the previous handlers so
+    main() can restore them (an in-process caller — the test suite — must
+    not keep a Ctrl-C handler that prints a bench row and exits 0)."""
     def handler(signum, frame):  # noqa: ARG001 — signal signature
         res = _PARTIAL or {
             "metric": "dit_b2_latent_train_imgs_per_sec_chip",
@@ -83,10 +100,20 @@ def _install_sigterm_salvage() -> None:
         _emit(res)
         os._exit(0)
 
+    previous = []
     for sig in (signal.SIGTERM, signal.SIGINT):
         try:
-            signal.signal(sig, handler)
+            previous.append((sig, signal.signal(sig, handler)))
         except (ValueError, OSError):  # non-main thread / exotic platform
+            pass
+    return previous
+
+
+def _restore_signal_handlers(previous) -> None:
+    for sig, old in previous:
+        try:
+            signal.signal(sig, old)
+        except (ValueError, OSError):
             pass
 
 
@@ -419,7 +446,15 @@ def _run_with_wall_limit(fn, limit_s):
 def main():
     global _PARTIAL, _EMITTED
     _PARTIAL, _EMITTED = None, False  # reset: tests call main() repeatedly
-    _install_sigterm_salvage()
+    prev_handlers = _install_sigterm_salvage()
+    try:
+        _main_body()
+    finally:
+        _restore_signal_handlers(prev_handlers)
+
+
+def _main_body():
+    global _PARTIAL
     _wait_for_backend()
     from vaw_tpu.utils.cache import enable_compilation_cache
 

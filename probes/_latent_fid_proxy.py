@@ -24,18 +24,15 @@ Usage:
 import os
 import sys
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_HERE = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, os.path.dirname(_HERE))
+sys.path.insert(0, _HERE)
 
 import numpy as np  # noqa: E402
 
+# the same 8x8 average-pool features every e2e proxy leg uses
+from _fid_proxy import pool_features  # noqa: E402
 from vaw_tpu.evals.fid import compute_statistics  # noqa: E402
-
-
-def pool_features(imgs: np.ndarray) -> np.ndarray:
-    """[N,H,W,3] float in [-1,1] -> [N,192] 8x8 average-pooled pixels."""
-    n, h, w, c = imgs.shape
-    f = imgs.reshape(n, 8, h // 8, 8, w // 8, c).mean(axis=(2, 4))
-    return f.reshape(n, -1)
 
 
 def load_pngs(path: str, n: int) -> np.ndarray:

@@ -22,16 +22,15 @@ Usage:
 import os
 import sys
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_HERE = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, os.path.dirname(_HERE))
+sys.path.insert(0, _HERE)
 
 import numpy as np  # noqa: E402
 
-
-def pool_features(z: np.ndarray) -> np.ndarray:
-    """[N,32,32,4] -> [N,64] 8x8 average-pooled latents."""
-    n, h, w, c = z.shape
-    f = z.reshape(n, 8, h // 8, 8, w // 8, c).mean(axis=(2, 4))
-    return f.reshape(n, -1)
+# the same 8x8 average-pool features every e2e proxy leg uses
+# ([N,H,W,C] -> [N, 64*C/... ]; works on latents as well as pixels)
+from _fid_proxy import pool_features  # noqa: E402
 
 
 def main():
@@ -82,10 +81,10 @@ def main():
             model_kwargs={"y": y})
 
     outs = []
-    for i in range(n // 64):
+    for i in range(-(-n // 64)):  # ceil: n < 64 and ragged n still sample n
         outs.append(np.asarray(sample_latents(jax.random.key(1000 + i))))
-        print(f"  sampled {(i + 1) * 64}/{n}", flush=True)
-    sampled = np.concatenate(outs).astype(np.float32) / scale
+        print(f"  sampled {min((i + 1) * 64, n)}/{n}", flush=True)
+    sampled = np.concatenate(outs)[:n].astype(np.float32) / scale
 
     with h5py.File(h5_path, "r") as f:
         total = f["train_latents"].shape[0]

@@ -93,13 +93,23 @@ bench.main()
         stdout=subprocess.PIPE, stderr=subprocess.PIPE,
     )
     try:
+        import select
+
         deadline = time.monotonic() + 60
-        while time.monotonic() < deadline:
-            line = p.stderr.readline()
-            if "HANGING" in line:  # flagship done, unet leg is stuck
-                break
-        else:
-            raise AssertionError("subprocess never reached the hung leg")
+        buf = ""
+        while "HANGING" not in buf:  # flagship done, unet leg is stuck
+            remaining = deadline - time.monotonic()
+            if remaining <= 0:
+                raise AssertionError("subprocess never reached the hung leg")
+            # select-gate the read: a bare readline() blocks with no
+            # deadline and a wedged subprocess would hang the whole suite.
+            ready, _, _ = select.select([p.stderr], [], [], remaining)
+            if not ready:
+                raise AssertionError("subprocess never reached the hung leg")
+            chunk = os.read(p.stderr.fileno(), 4096).decode(errors="replace")
+            if not chunk:
+                raise AssertionError("subprocess stderr closed early")
+            buf += chunk
         p.send_signal(signal.SIGTERM)
         out, _ = p.communicate(timeout=30)
     finally:

@@ -367,10 +367,11 @@ def flash_attention_packed(qkv, scale=None, d_major_out=False):
 def _pick_p5_bb(b: int, h: int, d: int, t: int):
     """Largest batch-block Bb such that (Bb*h) satisfies the Mosaic
     sublane rule for the [bh, t] lse block and the kernel's counted
-    buffer bytes stay inside the calibrated 90MB budget below (the
-    count deliberately overstates actual VMEM residency — Mosaic
-    double-buffers only a subset — so the budget exceeds the 64MB
-    physical limit by design; see the calibration note).
+    buffer bytes stay within _P5_SWEPT_BYTES — the exact counted bytes
+    of the hardware-validated operating point (the count deliberately
+    overstates actual VMEM residency — Mosaic double-buffers only a
+    subset — so the budget exceeds the 64MB physical limit by design;
+    see the calibration note).
 
     Sized off the BACKWARD (_bwd_kernel_p5), the larger of the two
     programs: d*t-shaped buffers — q/k/v/o/do inputs, the 3-section
@@ -389,14 +390,19 @@ def _pick_p5_bb(b: int, h: int, d: int, t: int):
             continue
         est = rows * t * t * 4 * 4 + rows * d * t * 4 * 12
         # Admit only up to the exact counted bytes of the hardware-
-        # validated operating point (rows=48, d=64, t=256 -> 88,080,384;
-        # PERF.md round-3 sweep): a round 90MB budget admitted unswept
+        # validated operating point: a round 90MB budget admitted unswept
         # shapes in the 88-90MB band with no evidence they compile, and a
         # Mosaic VMEM failure there is a hard compile error, not a
         # fallback. Raise only with a new swept point.
-        if est <= 48 * (256 * 256 * 16 + 64 * 256 * 48):
+        if est <= _P5_SWEPT_BYTES:
             return bb
     return None
+
+
+# Counted bytes of the largest TPU-swept p5 operating point (rows=48,
+# d=64, t=256 — the flagship shape; PERF.md round-3 sweep) via the same
+# `est` formula above: 48*(256*256*16 + 64*256*48) = 88,080,384.
+_P5_SWEPT_BYTES = 88_080_384
 
 
 def _packed5_supported(b, h, d, t) -> bool:

@@ -89,14 +89,19 @@ def dryrun_multichip(n_devices: int) -> None:
     )
     # 2D mesh: tensor-parallel degree 2 when divisible, else pure data.
     model_axis = 2 if n_devices % 2 == 0 else 1
-    mesh = make_mesh(data_axis=n_devices // model_axis,
-                     model_axis=model_axis, devices=devices)
+    dp_core = n_devices // model_axis
+    mesh = make_mesh(data_axis=dp_core, model_axis=model_axis,
+                     devices=devices)
 
+    # Batch = smallest multiple of the data-axis size that is >= 8, so the
+    # same code validates any device count (a hardcoded 8 broke sharding
+    # for meshes with a data axis > 8 or not dividing 8).
+    core_bs = dp_core * max(1, -(-8 // dp_core))
     cfg = TrainConfig(
         model="DiT-S", image_size=8, in_chans=4, patch_size=2,
-        num_classes=10, class_cond=True, batch_size=8, weight_type="lambda",
-        mean_type="EPSILON", drop_label_prob=0.1, grad_accumulation=2,
-        amp=False,
+        num_classes=10, class_cond=True, batch_size=core_bs,
+        weight_type="lambda", mean_type="EPSILON", drop_label_prob=0.1,
+        grad_accumulation=2, amp=False,
     )
     # Real DiT-S geometry (hidden 384, depth 12, heads 6 — models/dit.py
     # registry) on tiny images: the sharding/collective structure under
@@ -147,8 +152,10 @@ def dryrun_multichip(n_devices: int) -> None:
                     if n_devices > 1:
                         assert census[label]["all-reduce"] > 0, (
                             label, census[label])  # dp grad sync / tp rows
-                    if fsdp:
+                    if fsdp and dp_core > 1:
                         # ZeRO-3 must re-gather sharded params for compute
+                        # (a size-1 data axis makes fsdp a structural no-op,
+                        # so the signature only exists when dp > 1).
                         assert census[label]["all-gather"] > 0, (
                             label, census[label])
                         # ... and scatter grads to shards. The CPU SPMD
@@ -168,9 +175,11 @@ def dryrun_multichip(n_devices: int) -> None:
         # Both regimes compute the same math; shardings must not change it.
         assert abs(losses["dp+tp"] - losses["dp+tp+fsdp"]) < 1e-3, losses
         # The ZeRO-3 signature: fsdp adds param re-gathers over the plain
-        # dp+tp program.
-        assert (census["dp+tp+fsdp"]["all-gather"]
-                > census["dp+tp"]["all-gather"]), census
+        # dp+tp program (only meaningful when the data axis actually
+        # shards the params, i.e. dp > 1).
+        if dp_core > 1:
+            assert (census["dp+tp+fsdp"]["all-gather"]
+                    > census["dp+tp"]["all-gather"]), census
         print(f"[partial] CORE OK: dp+tp/fsdp loss equality "
               f"{losses['dp+tp']:.4f} t+{_elapsed():.0f}s", flush=True)
 
@@ -194,14 +203,18 @@ def dryrun_multichip(n_devices: int) -> None:
             # drop_label_prob=0 for the equality legs: the pipelined/sp
             # applies consume the label-dropout rng through different shard
             # structures, so any nonzero dropout would diverge by design.
+            # Batch = smallest multiple of n_devices >= 8: the plain
+            # baseline shards it over ALL devices, and the pp/sp meshes'
+            # data axes divide n_devices, so one size fits every leg.
+            sbs = n_devices * max(1, -(-8 // n_devices))
             shared_cfg = replace(
-                cfg, image_size=8, batch_size=8, grad_accumulation=1,
+                cfg, image_size=8, batch_size=sbs, grad_accumulation=1,
                 drop_label_prob=0.0, scan_blocks=True,
             )
             rs = np.random.RandomState(3)
             shared_batch = {
-                "image": jnp.asarray(rs.randn(8, 8, 8, 4), jnp.float32),
-                "label": jnp.arange(8) % 10,
+                "image": jnp.asarray(rs.randn(sbs, 8, 8, 4), jnp.float32),
+                "label": jnp.arange(sbs) % 10,
             }
             with _leg("plain-baseline"):
                 plain_loss, plain_params = _plain_step(
@@ -210,7 +223,11 @@ def dryrun_multichip(n_devices: int) -> None:
                   flush=True)
 
             pp_loss = plain_loss
-            if _elapsed() > budget:
+            if n_devices < 2:
+                skipped += ["pp", "sp"]
+                print("[leg] pp/sp SKIPPED: need >= 2 devices for the "
+                      "ppermute rings", flush=True)
+            elif _elapsed() > budget:
                 skipped.append("pp")
                 print(f"[leg] pp SKIPPED: over budget", flush=True)
             else:
@@ -224,7 +241,9 @@ def dryrun_multichip(n_devices: int) -> None:
                 print(f"[partial] pp: loss={pp_loss:.4f} == plain "
                       f"census={json.dumps(census['pp'])}", flush=True)
 
-            if _elapsed() > budget:
+            if "sp" in skipped:
+                pass  # already skipped above (single-device)
+            elif _elapsed() > budget:
                 skipped.append("sp")
                 print(f"[leg] sp SKIPPED: over budget", flush=True)
             else:
@@ -290,7 +309,11 @@ def _dryrun_sp_dit(devices, cfg, model, process, batch,
     from ..parallel.sp_dit import sequence_parallel_dit_apply
 
     grid = model.image_size // model.patch_size
-    sp = grid if grid <= 4 else 4
+    # sp degree: at most 4, at most the token-grid rows, and never more
+    # than the devices at hand (a hardcoded 4 made devices[:4].reshape
+    # raise for 2- and 3-device runs the old adaptive logic supported).
+    sp = min(grid, 4, len(devices))
+    assert sp >= 2, "sp leg needs >= 2 devices for the ppermute ring"
     dp = max(len(devices) // sp, 1)
     mesh = Mesh(np.array(devices[: dp * sp]).reshape(dp, sp),
                 ("data", "sp"))
