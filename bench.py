@@ -362,9 +362,15 @@ def bench_unet64_train(batch=64):
     }
 
 
-def bench_edm_sampler(guidance, batch=128):
+def bench_edm_sampler(guidance, batch=512):
     """EDM 18-step Heun sampler (reference main.py:112-124 protocol),
-    latent DiT-B/2, CFG batch-doubling active when guidance > 1."""
+    latent DiT-B/2, CFG batch-doubling active when guidance > 1.
+
+    Batch 512 is the measured round-5 operating point (PERF.md "EDM
+    sampler batch operating point"): 101.0 imgs/s at g1.0 and 51.7 at
+    g1.5 vs 96.8/49.3 at the old batch 128 — the 18-step scan amortizes
+    its fixed per-step overhead over more rows and the 256-token fwd MFU
+    rises with batch."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -461,24 +467,44 @@ def _main_body():
     enable_compilation_cache()
     _require_backend()
     # Worst case per leg: cold compile through the tunnel (minutes) + the
-    # timed steps + the best-effort trace. 1200 s each keeps all four legs
-    # inside the driver's 5400 s agenda window even if one leg burns its
-    # full limit.
-    leg_limit_s = float(os.environ.get("VAW_BENCH_LEG_TIMEOUT_S", "1200"))
+    # timed steps + the best-effort trace; every leg finishes in <8 min
+    # when the tunnel is healthy. 900 s each plus ONE run-wide retry keeps
+    # the worst case at 5 x 900 = 4500 s, inside the driver's 5400 s
+    # agenda window.
+    leg_limit_s = float(os.environ.get("VAW_BENCH_LEG_TIMEOUT_S", "900"))
+    # Observed wedge mode (round 5, twice): ONE leg's device readback
+    # blocks forever while fresh ops — including the very next leg — run
+    # fine. A timed-out leg therefore gets one retry, budgeted run-wide so
+    # a persistently dead tunnel can't stack retries past the window.
+    # Only TimeoutError retries: a real error (OOM, compile) is
+    # deterministic and would just burn the budget.
+    retry_budget = [1]
 
     def guarded(name, fn, has_baseline):
+        err = None
+        for attempt in (0, 1):
+            try:
+                return _run_with_wall_limit(fn, leg_limit_s)
+            except TimeoutError as e:
+                err = e
+                if attempt == 0 and retry_budget[0] > 0:
+                    retry_budget[0] -= 1
+                    _log(f"[bench] {name} hit the {leg_limit_s:.0f}s wall "
+                         "limit (tunnel wedge?); retrying once")
+                    continue
+                break
+            except Exception as e:  # noqa: BLE001 — isolate per leg
+                err = e
+                break
         # One bad leg must not zero the rest — including the flagship
         # (a flagship-only compile/OOM failure should still record the
         # UNet-64 and sampler rows). Error rows keep vs_baseline null for
         # the sampler legs: the reference publishes no sampler baseline,
         # and a fake 0.0 ratio would skew round-over-round comparisons.
-        try:
-            return _run_with_wall_limit(fn, leg_limit_s)
-        except Exception as e:  # noqa: BLE001 — isolate per leg
-            unit = "imgs/sec/chip" if has_baseline else "imgs/sec"
-            return {"metric": name, "value": 0.0, "unit": unit,
-                    "vs_baseline": 0.0 if has_baseline else None,
-                    "error": f"{type(e).__name__}: {e}"[:300]}
+        unit = "imgs/sec/chip" if has_baseline else "imgs/sec"
+        return {"metric": name, "value": 0.0, "unit": unit,
+                "vs_baseline": 0.0 if has_baseline else None,
+                "error": f"{type(err).__name__}: {err}"[:300]}
 
     flagship = guarded("dit_b2_latent_train_imgs_per_sec_chip",
                        bench_flagship_dit, True)

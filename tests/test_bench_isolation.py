@@ -158,3 +158,49 @@ def test_sampler_failure_keeps_null_baseline(patched_bench, monkeypatch):
     for row in out["metrics"][1:]:
         # baseline-less metric: an error row must NOT invent a 0.0 ratio
         assert row["value"] == 0.0 and row["vs_baseline"] is None
+
+
+def test_timed_out_leg_retries_once_and_records(patched_bench, monkeypatch):
+    """Round-5 observed wedge mode: ONE leg's readback blocks while fresh
+    ops (the very next legs) run fine — so a timed-out leg gets one retry,
+    and a transient wedge still produces a full row."""
+    monkeypatch.setenv("VAW_BENCH_LEG_TIMEOUT_S", "0.5")
+    calls = {"n": 0}
+
+    def flaky_unet():
+        calls["n"] += 1
+        if calls["n"] == 1:
+            time.sleep(60)  # first attempt wedges
+        return {"metric": "unet64_train_imgs_per_sec_chip", "value": 150.0,
+                "vs_baseline": 0.566, "unit": "imgs/sec/chip"}
+
+    monkeypatch.setattr(patched_bench, "bench_unet64_train", flaky_unet)
+    out = _run_main(patched_bench)
+    assert calls["n"] == 2  # retried exactly once
+    assert out["metrics"][0]["value"] == 150.0  # retry's result recorded
+    assert [m["value"] for m in out["metrics"][1:]] == [90.0, 90.0]
+
+
+def test_retry_budget_is_run_wide(patched_bench, monkeypatch):
+    """A second timed-out leg must NOT retry (budget 1 across the run) —
+    a persistently dead tunnel can't stack retries past the driver
+    window. Real (non-timeout) errors never retry either."""
+    monkeypatch.setenv("VAW_BENCH_LEG_TIMEOUT_S", "0.5")
+    unet_calls = {"n": 0}
+    edm_calls = {"n": 0}
+
+    def hung_unet():
+        unet_calls["n"] += 1
+        time.sleep(60)
+
+    def hung_edm(g, batch=512):
+        edm_calls["n"] += 1
+        time.sleep(60)
+
+    monkeypatch.setattr(patched_bench, "bench_unet64_train", hung_unet)
+    monkeypatch.setattr(patched_bench, "bench_edm_sampler", hung_edm)
+    out = _run_main(patched_bench)
+    assert unet_calls["n"] == 2  # first timeout spent the run-wide budget
+    assert edm_calls["n"] == 2  # two sampler legs, one attempt each
+    assert all(m["value"] == 0.0 and "wall limit" in m["error"]
+               for m in out["metrics"])
